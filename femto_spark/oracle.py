@@ -1,0 +1,117 @@
+"""Single-process pure-Python reference engine (the differential oracle).
+
+Mirrors the role of the reference's Perl oracle
+(`/root/reference/src/test/test.pl:381-416`): an independent, trivially
+auditable implementation that the distributed engine must match exactly —
+same top-k doc ids, bit-equal (rounded) BM25 scores, same boolean sets,
+same proximity matches with FEMTO's match-offset semantics
+(`/root/reference/src/main/results.c:732-950`: offset = min(left, right)).
+
+Intentionally naive: dict postings, python loops. Correctness only.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from .scoring import bm25_term, round_score
+from .tokenizer import tokenize
+
+
+class OracleIndex:
+    def __init__(self, docs: dict[int, str]):
+        """docs: doc_id → text."""
+        self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.doc_len: dict[int, int] = {}
+        for doc_id in sorted(docs):
+            toks = tokenize(docs[doc_id])
+            self.doc_len[doc_id] = len(toks)
+            for pos, t in enumerate(toks):
+                self.postings[t].setdefault(doc_id, []).append(pos)
+        self.n_docs = len(docs)
+        self.avgdl = (
+            sum(self.doc_len.values()) / self.n_docs if self.n_docs else 0.0
+        )
+
+    # -- counts (FEMTO STRING query semantics: occurrences + docs) --------
+    def count(self, term: str) -> tuple[int, int]:
+        """(n_occurrences, n_docs) for a single term."""
+        plist = self.postings.get(term, {})
+        return sum(len(v) for v in plist.values()), len(plist)
+
+    def docs_for(self, query: str) -> set[int]:
+        """AND-conjunction doc set over the query's distinct terms."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return set()
+        sets = [set(self.postings.get(t, {})) for t in terms]
+        out = sets[0]
+        for s in sets[1:]:
+            out &= s
+        return out
+
+    # -- boolean algebra (results.c:435/497/669 semantics) -----------------
+    def boolean(self, op: str, left: str, right: str) -> set[int]:
+        l, r = self.docs_for(left), self.docs_for(right)
+        if op == "and":
+            return l & r
+        if op == "or":
+            return l | r
+        if op == "not":
+            return l - r
+        raise ValueError(op)
+
+    # -- BM25 top-k --------------------------------------------------------
+    def score(self, query: str, doc_id: int) -> float:
+        """Deterministic: distinct terms summed in ascending order."""
+        s = 0.0
+        dl = self.doc_len[doc_id]
+        for t in sorted(set(tokenize(query))):
+            plist = self.postings.get(t)
+            if plist and doc_id in plist:
+                s += bm25_term(len(plist[doc_id]), dl, len(plist), self.n_docs, self.avgdl)
+        return s
+
+    def search(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        """Top-k (doc_id, rounded score); ties broken by doc_id asc."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return []
+        if mode == "and":
+            cand = self.docs_for(query)
+        else:
+            cand = set()
+            for t in terms:
+                cand |= set(self.postings.get(t, {}))
+        scored = [(d, round_score(self.score(query, d))) for d in cand]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    # -- proximity: THEN d / WITHIN d (results.c:732-950) -------------------
+    def proximity(
+        self, left: str, right: str, d: int, ordered: bool
+    ) -> list[tuple[int, int]]:
+        """Sorted (doc_id, offset) matches; offset = min(left, right) per the
+        reference's thenResults/withinResults."""
+        out = []
+        lp, rp = self.postings.get(left, {}), self.postings.get(right, {})
+        for doc_id in sorted(set(lp) & set(rp)):
+            hits = set()
+            for lo in lp[doc_id]:
+                for ro in rp[doc_id]:
+                    delta = ro - lo
+                    ok = (0 < delta <= d) if ordered else (delta != 0 and abs(delta) <= d)
+                    if ok:
+                        hits.add(min(lo, ro))
+            out.extend((doc_id, h) for h in sorted(hits))
+        return out
+
+    # -- extend: single-term right-extension stats (string_rows analogue) --
+    def extend(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Terms starting with prefix, by (df desc, term asc) — the analogue
+        of FEMTO's string_rows_right / femto_common BFS."""
+        cands = [
+            (t, len(p)) for t, p in self.postings.items() if t.startswith(prefix)
+        ]
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        return cands[:limit]
