@@ -65,6 +65,15 @@ def varint_encode(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized; used for block offsets)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    return nbytes
+
+
 def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
     """Decode a LEB128 byte stream (uint8 array) to uint64 values."""
     b = np.ascontiguousarray(buf, dtype=np.uint8)
@@ -123,7 +132,10 @@ def encode_postings(
         (gap_bytes.tobytes(), tf_bytes.tobytes(), dl_bytes.tobytes())
     )
 
-    # per-block metadata
+    # per-block metadata: skip pointers + block-max ingredients + byte
+    # offsets into each varint section so a block can be decoded without
+    # touching the others (the first gap of block i is relative to
+    # block_last_doc[i-1], which lives in metadata).
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     block_last_doc = np.empty(nblocks, dtype=np.int64)
     block_max_tf = np.empty(nblocks, dtype=np.int64)
@@ -133,6 +145,12 @@ def encode_postings(
         block_last_doc[i] = doc_ids[hi - 1]
         block_max_tf[i] = int(tfs[lo:hi].max())
         block_min_dl[i] = int(dls[lo:hi].min())
+    bnd = np.arange(nblocks) * BLOCK_SIZE
+
+    def _sect_offs(vals: np.ndarray) -> np.ndarray:
+        cs = np.concatenate(([0], np.cumsum(varint_sizes(vals))))
+        return cs[bnd]
+
     meta = {
         "n": int(n),
         "tf_off": int(gap_bytes.size),
@@ -140,6 +158,9 @@ def encode_postings(
         "block_last_doc": block_last_doc,
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
+        "block_gap_off": _sect_offs(gaps),
+        "block_tf_off": _sect_offs(tfs.astype(np.uint64)),
+        "block_dl_off": _sect_offs(dls.astype(np.uint64)),
     }
     return blob, meta
 
@@ -161,25 +182,36 @@ def decode_postings(
 # --------------------------------------------------------------------------
 
 
-def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
     """Encode per-posting sorted position lists as within-doc delta varints.
 
-    Counts are NOT stored — they equal each posting's tf, which the reader
-    already has from the postings blob (FEMTO similarly derives structure
-    from counts it already stores, block_format.txt:119-124).
+    `flat` is the concatenation of all postings' position lists; `lens[i]`
+    (= tf of posting i) delimits them. Counts are NOT stored — they equal
+    each posting's tf, which the reader already has from the postings blob
+    (FEMTO similarly derives structure from counts it already stores,
+    block_format.txt:119-124). Fully vectorized.
     """
-    if not positions_per_doc:
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    if flat.size == 0:
         return b""
-    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions_per_doc])
-    lens = np.array([len(p) for p in positions_per_doc], dtype=np.int64)
     starts = np.cumsum(lens) - lens
     deltas = flat.astype(np.uint64).copy()
     inner = np.ones(flat.size, dtype=bool)
-    inner[starts] = False
+    inner[starts[lens > 0]] = False
     deltas[inner] = flat[inner].astype(np.uint64) - flat[np.flatnonzero(inner) - 1].astype(
         np.uint64
     )
     return varint_encode(deltas).tobytes()
+
+
+def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
+    """List-of-arrays convenience wrapper over ``encode_positions_flat``."""
+    if not positions_per_doc:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions_per_doc])
+    lens = np.array([len(p) for p in positions_per_doc], dtype=np.int64)
+    return encode_positions_flat(flat, lens)
 
 
 def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,397 @@
+"""Query engine — the Spark restatement of FEMTO's query plane.
+
+FEMTO executes each query as an async DAG of leaf block-requests sorted by
+storage key so one block decompression serves many queries
+(`/root/reference/src/main/server.c:3093-3351`, SURVEY.md §4.2). Spark
+gives us the same effect declaratively: a query (or a whole batch of
+queries — `search_many`) becomes one DataFrame plan; the shuffle groups
+work by term bucket, partition pruning reads only the buckets the query
+terms live in, and executors decode each posting row once per job.
+
+Operator parity map (reference → here):
+  STRING count            (`server.c:713`)  → count() / count_occurrences
+  LOCATE / STRING_RESULTS (`server.c:4373`) → locate() (doc_id + positions)
+  BOOLEAN AND/OR/NOT      (`server.c:5446-5761`, results.c:435/497/669)
+                                            → boolean_docs()
+  THEN d / WITHIN d       (`results.c:732-950`) → proximity()
+  EXTRACT_DOCUMENT        (`server.c:6364`) → extract()
+  GET_URL / doc info      (`server.c:1246`) → doc_info()
+  string_rows / femto_common BFS            → extend()
+  femto_scan (unindexed RE2 scan)           → scan_count() [oracle path]
+  PARALLEL_QUERY / femto_multiquery         → search_many(), count_many()
+  (no FEMTO analogue — north-rule addition) → search(): BM25 top-k
+
+Scoring determinism: per-term scores are computed in numpy float64 inside
+the decode UDF (same libm as the oracle); per-document summation happens
+JVM-side as a fold over the term-sorted array — fixed order, bit-equal to
+the oracle's ascending-term Python sum. Rounding = floor(s*1e6+0.5)/1e6,
+IEEE-exact identical everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec import decode_positions, decode_postings
+from ..scoring import B, K1
+from ..tokenizer import tokenize
+
+_DECODED_SCHEMA = "term string, doc_id long, tf long, dl long, score double"
+_POS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
+
+
+def _bm25_arrays(tf, dl, df, n_docs, avgdl):
+    """Vectorized BM25, op-order identical to scoring.bm25_term: A*(B/C)."""
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    num = tf * (K1 + 1.0)
+    den = tf + K1 * (1.0 - B + B * dl / avgdl)
+    return idf * (num / den)
+
+
+class SearchEngine:
+    """Reader over an index directory produced by femto_spark.index.build."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        corpus: DataFrame | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.corpus = corpus
+        self.id_col = id_col
+        self.text_col = text_col
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self._index = spark.read.parquet(os.path.join(index_dir, "index"))
+        self._termstats = spark.read.parquet(os.path.join(index_dir, "termstats"))
+        self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self._n_buckets = None
+
+    # ------------------------------------------------------------------ #
+    # index access                                                        #
+    # ------------------------------------------------------------------ #
+
+    def _term_rows(self, terms: list[str]) -> DataFrame:
+        """Posting rows for `terms`, with bucket-level partition pruning
+        (the analogue of FEMTO's HDR_BSEARCH block lookup: only the
+        buckets that can hold these terms are read)."""
+        if not terms:
+            return self._index.limit(0)
+        # reproduce the build's bucket assignment JVM-side for pruning
+        probe = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        buckets = [
+            r["b"]
+            for r in probe.select(
+                F.pmod(F.xxhash64("term"), F.lit(self._buckets())).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return self._index.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _buckets(self) -> int:
+        if self._n_buckets is None:
+            self._n_buckets = (
+                self._index.select(F.max("bucket")).collect()[0][0] or 0
+            ) + 1
+        return self._n_buckets
+
+    def postings(self, terms: list[str], scored: bool = True) -> DataFrame:
+        """Decoded postings DataFrame (term, doc_id, tf, dl, score)."""
+        n_docs, avgdl = self.n_docs, self.avgdl
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    d, t, l = decode_postings(
+                        bytes(r.postings), r.n, r.tf_off, r.dl_off
+                    )
+                    s = (
+                        _bm25_arrays(
+                            t.astype(np.float64),
+                            l.astype(np.float64),
+                            int(r.df),
+                            n_docs,
+                            avgdl,
+                        )
+                        if scored
+                        else np.zeros(d.size)
+                    )
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r.term,
+                                "doc_id": d,
+                                "tf": t,
+                                "dl": l,
+                                "score": s,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cols = ["term", "df", "n", "tf_off", "dl_off", "postings"]
+        return self._term_rows(terms).select(*cols).mapInPandas(
+            _decode, _DECODED_SCHEMA
+        )
+
+    def postings_with_positions(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, tf, positions) — reads the positions column only
+        here, so plain queries never touch it (column pruning)."""
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    d, t, _ = decode_postings(
+                        bytes(r.postings), r.n, r.tf_off, r.dl_off
+                    )
+                    flat, starts = decode_positions(bytes(r.positions), t)
+                    splits = np.split(flat, np.cumsum(t)[:-1])
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": r.term,
+                                "doc_id": d,
+                                "tf": t,
+                                "positions": [p.tolist() for p in splits],
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cols = ["term", "n", "tf_off", "dl_off", "postings", "positions"]
+        return self._term_rows(terms).select(*cols).mapInPandas(
+            _decode, _POS_SCHEMA
+        )
+
+    # ------------------------------------------------------------------ #
+    # counts (FEMTO STRING query)                                         #
+    # ------------------------------------------------------------------ #
+
+    def count(self, term: str) -> DataFrame:
+        """(term, n_docs, n_occurrences) — FEMTO's count query answered
+        from the term-stats table alone (header-block lookup, no postings
+        touched)."""
+        t = tokenize(term)
+        return (
+            self._termstats.filter(F.col("term").isin(t))
+            .select(
+                "term",
+                F.col("df").alias("n_docs"),
+                F.col("cf").alias("n_occurrences"),
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+    # BM25 top-k search (north-rule core)                                 #
+    # ------------------------------------------------------------------ #
+
+    def search(self, query: str, k: int = 10, mode: str = "or") -> DataFrame:
+        """Top-k (doc_id, score), deterministic: score computed per term in
+        numpy, summed JVM-side in ascending-term order, rounded half-up to
+        6 decimals, tie-broken by doc_id asc."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        scored = self.postings(terms)
+        agg = scored.groupBy("doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, score))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.score)"
+            ).alias("raw_score"),
+            F.countDistinct("term").alias("n_terms"),
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_terms") == len(terms))
+        return (
+            agg.select(
+                "doc_id",
+                F.expr("floor(raw_score * 1e6 + 0.5) / 1e6").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Whole-batch execution of many queries in ONE Spark job — the
+        analogue of FEMTO's request sorting (§4.2: batching 100k counts
+        gave ~5000× I/O reduction). Returns (query_id, doc_id, score, rank).
+        """
+        pairs = []
+        for qid, q in queries.items():
+            for t in sorted(set(tokenize(q))):
+                pairs.append((qid, t))
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, rank int"
+            )
+        qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
+        terms = sorted({t for _, t in pairs})
+        scored = self.postings(terms)
+        joined = scored.join(F.broadcast(qdf), "term")
+        agg = joined.groupBy("query_id", "doc_id").agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(term, score))),"
+                " cast(0.0 as double), (acc, x) -> acc + x.score)"
+            ).alias("raw_score")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            agg.select(
+                "query_id",
+                "doc_id",
+                F.expr("floor(raw_score * 1e6 + 0.5) / 1e6").alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    # ------------------------------------------------------------------ #
+    # boolean set algebra (results.c merge semantics as joins)            #
+    # ------------------------------------------------------------------ #
+
+    def docs_for(self, query: str) -> DataFrame:
+        """AND-conjunction doc set (doc_id) over the query's terms."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        p = self.postings(terms, scored=False)
+        return (
+            p.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == len(terms))
+            .select("doc_id")
+        )
+
+    def boolean_docs(self, op: str, left: str, right: str) -> DataFrame:
+        """AND → inner join, OR → union-distinct, NOT → left-anti: the
+        DataFrame forms of intersectResults/unionResults/subtractResults."""
+        l, r = self.docs_for(left), self.docs_for(right)
+        if op == "and":
+            return l.join(r, "doc_id", "inner").select("doc_id")
+        if op == "or":
+            return l.union(r).distinct()
+        if op == "not":
+            return l.join(r, "doc_id", "left_anti").select("doc_id")
+        raise ValueError(op)
+
+    # ------------------------------------------------------------------ #
+    # locate + proximity (positions plane)                                #
+    # ------------------------------------------------------------------ #
+
+    def locate(self, term: str, max_occs: int | None = None) -> DataFrame:
+        """(doc_id, pos) occurrences of a term — FEMTO LOCATE. Sorted
+        (doc_id, pos) like results_t's invariant; LIMIT = max_occs."""
+        t = sorted(set(tokenize(term)))
+        p = self.postings_with_positions(t)
+        out = (
+            p.select("doc_id", F.explode("positions").alias("pos"))
+            .orderBy("doc_id", "pos")
+        )
+        return out.limit(max_occs) if max_occs else out
+
+    def proximity(
+        self, left: str, right: str, d: int, ordered: bool
+    ) -> DataFrame:
+        """THEN d (ordered) / WITHIN d (unordered) — reference semantics
+        (`results.c:732-950`): THEN matches 0 < r−l ≤ d, WITHIN matches
+        0 < |r−l| ≤ d; reported offset = min(l, r); sorted, deduplicated.
+        Vectorized per doc via searchsorted windows."""
+        lp = self.postings_with_positions([left]).select(
+            "doc_id", F.col("positions").alias("lpos")
+        )
+        rp = self.postings_with_positions([right]).select(
+            "doc_id", F.col("positions").alias("rpos")
+        )
+        joined = lp.join(rp, "doc_id")
+
+        def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, offs = [], []
+                for r in pdf.itertuples(index=False):
+                    l = np.asarray(r.lpos, dtype=np.int64)
+                    rr = np.asarray(r.rpos, dtype=np.int64)
+                    lo = np.searchsorted(rr, l + (1 if ordered else -d))
+                    hi = np.searchsorted(rr, l + d, side="right")
+                    hits = set()
+                    for i in np.flatnonzero(hi > lo):
+                        for ro in rr[lo[i] : hi[i]]:
+                            if ro != l[i]:
+                                hits.add(int(min(l[i], ro)))
+                    for h in sorted(hits):
+                        docs.append(r.doc_id)
+                        offs.append(h)
+                yield pd.DataFrame({"doc_id": docs, "offset": offs})
+
+        return joined.mapInPandas(_match, "doc_id long, offset long").orderBy(
+            "doc_id", "offset"
+        )
+
+    # ------------------------------------------------------------------ #
+    # document plane                                                      #
+    # ------------------------------------------------------------------ #
+
+    def extract(self, doc_id: int) -> DataFrame:
+        """EXTRACT_DOCUMENT — trivial when the corpus is kept (SURVEY §2.4):
+        FEMTO forward-steps the FM-index to rebuild bytes; we filter the
+        corpus table (predicate pushdown to the scan)."""
+        if self.corpus is None:
+            raise ValueError("engine was built without a corpus DataFrame")
+        return self.corpus.filter(F.col(self.id_col) == doc_id).select(
+            F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        )
+
+    def doc_info(self, doc_ids: list[int]) -> DataFrame:
+        """GET_URL batch: doc metadata for result reporting."""
+        if self.corpus is None:
+            raise ValueError("engine was built without a corpus DataFrame")
+        return self.corpus.filter(F.col(self.id_col).isin(doc_ids))
+
+    def extend(self, prefix: str, limit: int = 10) -> DataFrame:
+        """string_rows_right / femto_common analogue: terms extending a
+        prefix ranked by document frequency."""
+        return (
+            self._termstats.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+
+    # ------------------------------------------------------------------ #
+    # unindexed scan path (femto_scan / RE2 oracle)                       #
+    # ------------------------------------------------------------------ #
+
+    def scan_docs(self, pattern: str) -> DataFrame:
+        """Brute-force regex scan of the corpus — the femto_scan fallback
+        and our in-Spark correctness oracle for regex queries."""
+        if self.corpus is None:
+            raise ValueError("engine was built without a corpus DataFrame")
+        return (
+            self.corpus.filter(F.col(self.text_col).rlike(pattern))
+            .select(F.col(self.id_col).alias("doc_id"))
+            .orderBy("doc_id")
+        )

@@ -41,13 +41,25 @@ def bm25_term(tf: float, dl: float, df: int, n_docs: int, avgdl: float) -> float
 
 
 def round_score(s: float) -> float:
-    return round(s, SCORE_DECIMALS)
+    """Round half-up via exact IEEE ops (multiply, add, floor, divide) so
+    Python, numpy, Spark SQL `floor(s*1e6+0.5)/1e6`, and DuckDB produce the
+    same bits for the same input double. Scores are always >= 0."""
+    import math as _m
+
+    return _m.floor(s * 1e6 + 0.5) / 1e6
+
+
+ROUND_SQL = "floor({s} * 1e6 + 0.5) / 1e6"  # same ops, any SQL engine
 
 
 def duckdb_score_sql(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
-    """DuckDB SQL fragment computing the identical per-term BM25 score."""
+    """DuckDB SQL fragment computing the identical per-term BM25 score.
+
+    Parenthesization matters: evaluated as idf * (num / den), matching
+    bm25_term()'s A*(B/C) order bit-for-bit.
+    """
     return (
-        f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
-        f" * ({tf} * ({K1} + 1.0))"
-        f" / ({tf} + {K1} * (1.0 - {B} + {B} * {dl} / {avgdl}))"
+        f"(ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+        f" * (({tf} * ({K1} + 1.0))"
+        f" / ({tf} + {K1} * (1.0 - {B} + {B} * {dl} / {avgdl}))))"
     )

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench, and spark-submit
+entrypoints share one configuration story. Designed for a multi-executor
+cluster; `local[N]` in this sandbox exercises the identical code path
+(explicit partitioning, Arrow batching, AQE) per BASELINE.md's sandbox
+protocol for the N vs 4N scaling criterion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "femto_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus != "*" else "32"
+        shuffle_partitions = int(n) if str(n).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Arrow everywhere: all our custom operators are pandas/Arrow UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE handles runtime re-planning + skew-join splitting at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Posting blobs are large binary cells; keep task results bounded.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
