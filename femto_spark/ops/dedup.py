@@ -1,0 +1,258 @@
+"""Deduplication operators — exact and near-duplicate, scale-first.
+
+The reference's only dedup is the files reader's SHA glom
+(`/root/reference/src/dcx_cc/index_tool_support_files.c:96-104`: identical
+content under several paths is indexed once with paths joined by '|').
+That is `exact_duplicates` here; the near-dup family (MinHash+LSH, SimHash,
+n-gram Jaccard) is the training-pipeline extension.
+
+Scale notes (100 TB):
+  * exact: one hash-groupBy shuffle; the hash (not the text) is shuffled.
+  * minhash_lsh: candidate generation is a self-join on (band_id, band
+    hash) — only docs sharing a band collide, so the join fans out by
+    bucket size, not corpus size. Hot buckets (boilerplate pages) are the
+    skew risk → cap bucket size (`max_bucket`) exactly like salting.
+  * simhash: 64-bit fingerprints; near-dup = hamming distance ≤ t, found
+    by banding the fingerprint into chunks (pigeonhole: d ≤ t ⇒ some
+    chunk of t+1 is equal) — again a bucket join, no O(n²).
+  * ngram_jaccard: exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import spark_tokens_expr
+
+# deterministic MinHash parameters (no runtime randomness — fixtures and
+# re-runs must agree bit-for-bit)
+_MERSENNE = np.uint64((1 << 61) - 1)
+_SEED_A = 0x9E3779B97F4A7C15
+_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _minhash_coeffs(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def exact_duplicates(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, doc_ids, keep).
+
+    `keep` = min doc_id (deterministic survivor). One shuffle on the hash.
+    """
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams — JVM-side only:
+    tokenize → transform over index range → filter short tails → explode."""
+    toks = spark_tokens_expr(text_col)
+    expr = (
+        f"transform(sequence(0, greatest(size({toks}) - {n}, -1)),"
+        f" i -> array_join(slice({toks}, i + 1, {n}), ' '))"
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ).
+
+    Plan: shingle-inverted self-join (only co-occurring docs pair up) →
+    count common shingles → jaccard = common / (|A| + |B| − common).
+    At 100 TB you run this on LSH candidates; standalone it is still
+    shuffle-bounded by shingle co-occurrence, not n².
+    """
+    sh = shingles(corpus, n, id_col, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    corpus: DataFrame, n_hashes: int = 64, n: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures over word n-grams.
+
+    Shingle hashing is JVM xxhash64; the n_hashes permutations
+    ((a*h + b) mod 2^61−1) run vectorized in numpy over Arrow batches of
+    (doc_id, shingle_hash) — grouped min per doc via Spark agg after a
+    per-batch elementwise transform, so nothing is per-row Python.
+    """
+    a_co, b_co = _minhash_coeffs(n_hashes)
+    sh = shingles(corpus, n, id_col, text_col).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+
+    def _perm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
+            # (a*h + b) mod M for all permutations: (n_rows, n_hashes)
+            m = (h[:, None] * a_co[None, :] + b_co[None, :]) % _MERSENNE
+            out = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), n_hashes),
+                    "perm": np.tile(np.arange(n_hashes, dtype=np.int32), h.size),
+                    "v": m.reshape(-1).astype(np.int64),
+                }
+            )
+            yield out
+
+    permed = sh.mapInPandas(_perm, "doc_id long, perm int, v long")
+    return (
+        permed.groupBy("doc_id", "perm")
+        .agg(F.min("v").alias("mv"))
+        .groupBy("doc_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(perm, mv))), x -> x.mv)").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+
+    band hash join (shingle→minhash→band→bucket-join) generates candidates;
+    exact n-gram Jaccard verifies — so the OUTPUT is deterministic and
+    equals ngram_jaccard_pairs restricted to LSH-found candidates.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(corpus, n_hashes, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(corpus, threshold, n, id_col, text_col)
+    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_fingerprints(
+    corpus: DataFrame, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """(doc_id, simhash long) 64-bit SimHash over unigram term hashes,
+    tf-weighted. Vectorized numpy bit-vote inside applyInPandas per doc
+    batch; term hashing stays JVM (xxhash64)."""
+    toks = (
+        corpus.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(spark_tokens_expr(text_col))).alias("term"))
+        .groupBy("doc_id", F.xxhash64("term").alias("h"))
+        .agg(F.count("*").alias("w"))
+    )
+
+    def _vote(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
+        w = pdf["w"].to_numpy(np.int64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = ((bits.astype(np.int64) * 2 - 1) * w[:, None]).sum(axis=0)
+        fp = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            fp |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame({"doc_id": [keys[0]], "simhash": [np.int64(fp)]})
+
+    return toks.groupBy("doc_id").applyInPandas(_vote, "doc_id long, simhash long")
+
+
+def simhash_neardup_pairs(
+    corpus: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ t via pigeonhole banding:
+    split 64 bits into t+1 chunks; d ≤ t ⇒ at least one chunk equal ⇒
+    candidates come from an equality bucket join, never O(n²)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    fp = simhash_fingerprints(corpus, id_col, text_col).cache()
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> (cast(simhash as bigint) >> (c * {width})) & {(1 << width) - 1})"
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.expr("ha ^ hb")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

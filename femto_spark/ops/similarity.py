@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k, fully JVM-side via higher-order
+functions (zip_with + aggregate) — no Python in the hot path, Catalyst
+codegens the dot product. Scale path: LSH bucketing by signed random
+hyperplanes (deterministic seed) so candidate generation is a bucket join;
+at 1000 executors the brute-force path is a broadcast of the (small) query
+set against a partitioned corpus — embarrassingly parallel — while the
+LSH path bounds per-query work by bucket size, the IVF-style trade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+    " * sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)))"
+)
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """JVM-side cosine similarity between two array columns."""
+    return _COS.format(a=a, b=b)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set, score every
+    corpus vector JVM-side, window top-k. Returns
+    (query_id, vec_id, cos_sim, rank) with deterministic tie-break
+    (cos desc, vec_id asc); cos rounded half-up to 6 dp for cross-engine
+    comparability."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).crossJoin(F.broadcast(q))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"floor(({cosine_expr('vec', 'qvec')}) * 1e6 + 0.5) / 1e6"
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def lsh_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: sign-of-hyperplane LSH buckets both sides, exact
+    cosine only within the query's bucket. Deterministic hyperplanes.
+
+    Signature computation stays JVM-side: the (tiny) plane matrix is
+    inlined as array literals and reduced with aggregate(zip_with(...)).
+    Returns (query_id, vec_id, cos_sim, rank) — rank-safe only within the
+    bucket (the documented ANN trade; brute_force_topk is the oracle).
+    """
+    planes = lsh_hyperplanes(dim, n_planes)
+
+    def sig_expr(col: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
+            dot = (
+                f"aggregate(zip_with({col}, {arr}, (x, y) -> cast(x as double) * y),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            bits.append(f"(case when {dot} >= 0 then {1 << p} else 0 end)")
+        return " + ".join(bits)
+
+    from pyspark.sql import Window
+
+    vv = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(sig_expr(vec_col)).alias("bucket"),
+    )
+    qq = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("qvec"),
+        F.expr(sig_expr(qvec_col)).alias("bucket"),
+    )
+    scored = vv.join(F.broadcast(qq), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"floor(({cosine_expr('vec', 'qvec')}) * 1e6 + 0.5) / 1e6"
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ τ).
+
+    Self-join; at scale, gate through lsh buckets first (compose with
+    lsh_bucket signatures) — kept exact here as the verification oracle.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"floor(({cosine_expr('va', 'vb')}) * 1e6 + 0.5) / 1e6").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,206 @@
+"""Tests for the training-pipeline operators (dedup, similarity, textstats,
+multimodal plumbing) — verified against duckdb/numpy oracles."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark, docs):
+    from femto_spark.ops.dedup import exact_duplicates
+
+    got = {
+        (r["text_hash"], tuple(r["doc_ids"]), r["keep"])
+        for r in exact_duplicates(docs).collect()
+    }
+    want = {
+        (h, tuple(ids), min(ids))
+        for h, ids in duckdb.sql(
+            f"SELECT md5(text), list_sort(list(doc_id)) FROM '{SF}/documents.parquet'"
+            " GROUP BY md5(text) HAVING count(*) > 1"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from femto_spark.ops.dedup import ngram_jaccard_pairs
+    from femto_spark.tokenizer import tokenize
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    # python oracle
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    sh = {}
+    for d, t in rows:
+        toks = tokenize(t)
+        sh[d] = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            common = len(sh[a] & sh[b])
+            if common:
+                j = common / (len(sh[a]) + len(sh[b]) - common)
+                if j >= 0.2:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    from femto_spark.ops.dedup import minhash_lsh_pairs
+
+    # identical texts must always collide in LSH and have jaccard 1.0
+    dup_groups = duckdb.sql(
+        f"SELECT list_sort(list(doc_id)) FROM '{SF}/documents.parquet'"
+        " GROUP BY md5(text) HAVING count(*) > 1"
+    ).fetchall()
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    for (ids,) in dup_groups:
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in got, (a, b)
+
+
+def test_simhash_deterministic_and_dup_zero_distance(spark, docs):
+    from femto_spark.ops.dedup import simhash_fingerprints, simhash_neardup_pairs
+
+    fp1 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    fp2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp1 == fp2  # deterministic
+    dup_groups = duckdb.sql(
+        f"SELECT list_sort(list(doc_id)) FROM '{SF}/documents.parquet'"
+        " GROUP BY md5(text) HAVING count(*) > 1"
+    ).fetchall()
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    for (ids,) in dup_groups:
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert pairs.get((a, b)) == 0
+
+
+def test_brute_force_topk_vs_numpy(spark, embs):
+    from femto_spark.ops.similarity import brute_force_topk
+
+    qdf = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(embs, qdf, k=5).collect()
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    for q in range(3):
+        qv = mat[ids == q][0]
+        cos = mat @ qv / (norms * np.linalg.norm(qv))
+        cos_r = np.floor(cos * 1e6 + 0.5) / 1e6
+        order = sorted(zip(ids, cos_r), key=lambda x: (-x[1], x[0]))[:5]
+        want = [(i + 1, int(d), c) for i, (d, c) in enumerate(order)]
+        assert sorted(by_q[q]) == [
+            (rk, vid, pytest.approx(c, abs=1e-9)) for rk, vid, c in want
+        ] or [
+            (rk, vid) for rk, vid, _ in sorted(by_q[q])
+        ] == [(rk, vid) for rk, vid, _ in want]
+
+
+def test_lsh_topk_self_hit(spark, embs):
+    from femto_spark.ops.similarity import lsh_bucket_topk
+
+    qdf = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_bucket_topk(embs, qdf, k=3, dim=64).collect()
+    # every query vector is in its own bucket → rank-1 self hit with cos 1.0
+    rank1 = {r["query_id"]: (r["vec_id"], r["cos_sim"]) for r in got if r["rank"] == 1}
+    for q in range(5):
+        assert rank1[q][0] == q and rank1[q][1] == 1.0
+
+
+def test_textstats_match_duckdb(spark, docs):
+    from femto_spark.ops.textstats import language_id, quality_score, token_count
+
+    got = {r["doc_id"]: (r["n_tokens"], r["n_unique_tokens"]) for r in token_count(docs).collect()}
+    want = dict(
+        duckdb.sql(
+            f"""SELECT doc_id, (len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')),
+                        len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))))
+             FROM '{SF}/documents.parquet'"""
+        ).fetchall()
+    )
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+    q = quality_score(docs).collect()
+    assert all(0 <= r["stopword_ratio"] <= 1 and 0 <= r["unique_ratio"] <= 1 for r in q)
+    langs = language_id(docs).collect()
+    assert all(r["pred_lang"] in {"en", "de", "fr", "es", "und"} for r in langs)
+    # text corpus contains 'the'/'a' markers → english dominates
+    en = sum(1 for r in langs if r["pred_lang"] == "en")
+    assert en > len(langs) * 0.5
+
+
+def test_fingerprint_order_sensitive(spark):
+    from femto_spark.ops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c"), (3, "A, b; C!")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[2] == fp[3]  # case/punct-insensitive, order-aware
+    assert fp[0] != fp[1]
+
+
+def test_multimodal_plumbing(spark):
+    from femto_spark.ops.multimodal import (
+        binary_meta,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"payload-a"), 4, 4, 0),
+        (1, "video", bytearray(b"payload-b"), 16, 16, 3500),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, width int, height int, duration_ms int",
+    )
+    meta = {r["doc_id"]: (r["n_bytes"], r["sha256"]) for r in binary_meta(df).collect()}
+    import hashlib
+
+    assert meta[0] == (9, hashlib.sha256(b"payload-a").hexdigest())
+    feats = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    assert len(feats[0]) == 16
+    assert feats[0] != feats[1]
+    assert abs(sum(x * x for x in feats[0]) - 1.0) < 1e-6  # normalized (f32 decode)
+    plan = [(r["doc_id"], r["frame_ts_ms"]) for r in frame_sample_plan(df).collect()]
+    assert (1, 0) in plan and (1, 3000) in plan and (1, 4000) not in plan
