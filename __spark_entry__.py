@@ -1,38 +1,444 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship BM25 top-10 over the sf0.001 documents table.
+queries()      — one entry per implemented operator (SURVEY.md §2 + the
+                 training-pipeline operators).
+oracle_sql()   — independent DuckDB ANSI-SQL restatements; the driver runs
+                 both sides at sf0.01 and hash-compares values.
+
+The inverted index is built once per sf_dir (memoized under
+.scratch/ inside the repo) and reused by every FTS query entry.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from femto_spark.scoring import duckdb_score_sql
+from femto_spark.tokenizer import duckdb_tokens_expr
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+_ENGINES: dict[str, object] = {}
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL building blocks (tokenization identical to the engine)
+# ---------------------------------------------------------------------------
+
+_TOKS = duckdb_tokens_expr("text")
+
+_BASE = f"""
+WITH docs_tok AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs_tok),
+st AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM docs_tok),
+tokpos AS (
+    SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+    FROM docs_tok
+)
+"""
+
+
+def _sql_terms(terms: list[str]) -> str:
+    return ",".join(f"'{t}'" for t in terms)
+
+
+def _bm25_sql(terms: list[str], k: int = 10, mode: str = "or") -> str:
+    score = duckdb_score_sql("tf.tf", "dl.dl", "dfc.df", "st.n", "st.avgdl")
+    having = (
+        f"WHERE nt = {len(terms)}" if mode == "and" else ""
+    )
+    return f"""{_BASE},
+tf  AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_sql_terms(terms)}) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc  AS (SELECT tf.doc_id, tf.term, CAST({score} AS DOUBLE) AS s
+        FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s ORDER BY term) AS raw,
+               count(DISTINCT term) AS nt FROM sc GROUP BY doc_id)
+SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+FROM agg {having}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def _docset_sql(terms: list[str]) -> str:
+    return (
+        f"SELECT doc_id FROM (SELECT doc_id, count(DISTINCT term) AS c FROM tok"
+        f" WHERE term IN ({_sql_terms(terms)}) GROUP BY doc_id) WHERE c = {len(terms)}"
+    )
+
+
+# the fixed probe workload (same constants on both sides)
+_PROBE_TERMS = ["the", "data", "merge", "value", "spark", "zzznope"]
+_Q_OR = "data table scan"
+_Q_AND = "the data table"
+_BATCH = {
+    "q0": "the",
+    "q1": "data table",
+    "q2": "spark window agg",
+    "q3": "fast slow filter",
+    "q4": "zzznope",
+}
+
+
+# ---------------------------------------------------------------------------
+# engine plumbing
+# ---------------------------------------------------------------------------
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(_SCRATCH, "index_" + key.strip("/").replace("/", "_"))
+    build_index(spark, corpus, out, n_buckets=16, n_salts=8, resume=True)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    _ENGINES[key] = eng
+    return eng
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a multi-term query over sf0.001."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return eng.search(_Q_OR, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- index plane (whole-index differentials) ----
+    q["index_termstats"] = lambda s, d: _engine(s, d)._termstats.select(
+        "term", "df", "cf"
+    )
+    q["index_doc_lens"] = lambda s, d: _engine(s, d)._docs.select("doc_id", "dl")
+
+    # ---- FTS query plane ----
+    q["fts_count_terms"] = lambda s, d: _engine(s, d)._termstats.filter(
+        F.col("term").isin(_PROBE_TERMS)
+    ).select("term", F.col("df").alias("n_docs"), F.col("cf").alias("n_occurrences"))
+    q["fts_bm25_top10"] = lambda s, d: _engine(s, d).search(_Q_OR, k=10)
+    q["fts_bm25_and_top10"] = lambda s, d: _engine(s, d).search(_Q_AND, k=10, mode="and")
+    q["fts_bool_and"] = lambda s, d: _engine(s, d).boolean_docs("and", "data", "table")
+    q["fts_bool_or"] = lambda s, d: _engine(s, d).boolean_docs("or", "data", "table")
+    q["fts_bool_not"] = lambda s, d: _engine(s, d).boolean_docs("not", "data", "table")
+    q["fts_locate"] = lambda s, d: _engine(s, d).locate("merge")
+    q["fts_proximity_then"] = lambda s, d: _engine(s, d).proximity(
+        "the", "data", 3, ordered=True
+    ).withColumnRenamed("offset", "off")
+    q["fts_proximity_within"] = lambda s, d: _engine(s, d).proximity(
+        "table", "scan", 4, ordered=False
+    ).withColumnRenamed("offset", "off")
+    q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
+    q["fts_extract_doc"] = lambda s, d: _engine(s, d).extract(3)
+    q["fts_scan_regex"] = lambda s, d: _engine(s, d).scan_docs("merge (fast|slow)")
+    q["fts_search_batch"] = lambda s, d: _engine(s, d).search_many(_BATCH, k=5)
+
+    # ---- training-pipeline: dedup ----
+    def _dedup_exact(s, d):
+        from femto_spark.ops.dedup import exact_duplicates
+
+        return exact_duplicates(_docs(s, d)).select("text_hash", "n_dups", "keep")
+
+    q["dedup_exact"] = _dedup_exact
+
+    def _dedup_jaccard(s, d):
+        from femto_spark.ops.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(s, d), threshold=0.3).select(
+            "doc_a",
+            "doc_b",
+            F.expr("floor(jaccard * 1e6 + 0.5) / 1e6").alias("jaccard"),
+        )
+
+    q["dedup_ngram_jaccard"] = _dedup_jaccard
+
+    def _dedup_minhash(s, d):
+        from femto_spark.ops.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_docs(s, d), threshold=0.3).select(
+            "doc_a",
+            "doc_b",
+            F.expr("floor(jaccard * 1e6 + 0.5) / 1e6").alias("jaccard"),
+        )
+
+    q["dedup_minhash_lsh"] = _dedup_minhash  # no SQL oracle (minhash)
+
+    def _dedup_simhash(s, d):
+        from femto_spark.ops.dedup import simhash_neardup_pairs
+
+        return simhash_neardup_pairs(_docs(s, d), max_hamming=3)
+
+    q["dedup_simhash"] = _dedup_simhash  # no SQL oracle (bit votes)
+
+    # ---- training-pipeline: text analysis ----
+    def _tok_count(s, d):
+        from femto_spark.ops.textstats import token_count
+
+        return token_count(_docs(s, d))
+
+    q["text_token_count"] = _tok_count
+
+    def _quality(s, d):
+        from femto_spark.ops.textstats import quality_score
+
+        return quality_score(_docs(s, d))
+
+    q["text_quality"] = _quality
+
+    def _langid(s, d):
+        from femto_spark.ops.textstats import language_id
+
+        return language_id(_docs(s, d))
+
+    q["text_langid"] = _langid
+
+    def _fingerprint(s, d):
+        from femto_spark.ops.textstats import fingerprint
+
+        return fingerprint(_docs(s, d))
+
+    q["text_fingerprint"] = _fingerprint  # no SQL oracle (xxhash64 chain)
+
+    # ---- training-pipeline: similarity search ----
+    def _ann(s, d):
+        from femto_spark.ops.similarity import brute_force_topk
+
+        e = _embs(s, d)
+        qdf = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return brute_force_topk(e, qdf, k=5)
+
+    q["ann_cosine_top5"] = _ann
+
+    def _ann_lsh(s, d):
+        from femto_spark.ops.similarity import lsh_bucket_topk
+
+        e = _embs(s, d)
+        qdf = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return lsh_bucket_topk(e, qdf, k=5, dim=64)
+
+    q["ann_lsh_top5"] = _ann_lsh  # no SQL oracle (hyperplane LSH)
+
+    def _neardup(s, d):
+        from femto_spark.ops.similarity import embedding_neardup_pairs
+
+        return embedding_neardup_pairs(_embs(s, d), threshold=0.4)
+
+    q["ann_embedding_neardup"] = _neardup
+
+    # ---- multimodal plumbing ----
+    def _mm(s, d):
+        from femto_spark.ops.multimodal import binary_meta
+
+        df = _docs(s, d).select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return df.select(
+            "doc_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("payload_md5"),
+        )
+
+    q["multimodal_binary_meta"] = _mm
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS
+    o: dict[str, str] = {}
+
+    o["index_termstats"] = f"""{_BASE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term"""
+
+    o["index_doc_lens"] = f"""{_BASE} SELECT doc_id, dl FROM dl"""
+
+    o["fts_count_terms"] = f"""{_BASE}
+SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM tok WHERE term IN ({_sql_terms(_PROBE_TERMS)}) GROUP BY term"""
+
+    o["fts_bm25_top10"] = _bm25_sql(sorted(set(_Q_OR.split())), 10, "or")
+    o["fts_bm25_and_top10"] = _bm25_sql(sorted(set(_Q_AND.split())), 10, "and")
+
+    o["fts_bool_and"] = f"""{_BASE}
+SELECT doc_id FROM ({_docset_sql(['data'])}) INTERSECT {_docset_sql(['table'])}"""
+    o["fts_bool_or"] = f"""{_BASE}
+SELECT doc_id FROM ({_docset_sql(['data'])}) UNION {_docset_sql(['table'])}"""
+    o["fts_bool_not"] = f"""{_BASE}
+SELECT doc_id FROM ({_docset_sql(['data'])}) EXCEPT {_docset_sql(['table'])}"""
+
+    o["fts_locate"] = f"""{_BASE}
+SELECT doc_id, pos FROM tokpos WHERE term = 'merge' ORDER BY doc_id, pos"""
+
+    o["fts_proximity_then"] = f"""{_BASE},
+l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'the'),
+r AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data')
+SELECT DISTINCT l.doc_id AS doc_id, least(l.pos, r.pos) AS off
+FROM l JOIN r ON l.doc_id = r.doc_id AND r.pos - l.pos BETWEEN 1 AND 3"""
+
+    o["fts_proximity_within"] = f"""{_BASE},
+l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'table'),
+r AS (SELECT doc_id, pos FROM tokpos WHERE term = 'scan')
+SELECT DISTINCT l.doc_id AS doc_id, least(l.pos, r.pos) AS off
+FROM l JOIN r ON l.doc_id = r.doc_id
+ AND abs(r.pos - l.pos) <= 4 AND r.pos <> l.pos"""
+
+    o["fts_extend"] = f"""{_BASE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10"""
+
+    o["fts_extract_doc"] = "SELECT doc_id, text FROM documents WHERE doc_id = 3"
+
+    o["fts_scan_regex"] = (
+        "SELECT doc_id FROM documents WHERE regexp_matches(text, 'merge (fast|slow)')"
+        " ORDER BY doc_id"
+    )
+
+    # batch BM25: replicate the per-query scoring via a query-term table
+    batch_pairs = ",".join(
+        f"('{qid}','{t}')" for qid, s in _BATCH.items() for t in sorted(set(s.split()))
+    )
+    all_terms = sorted({t for s in _BATCH.values() for t in s.split()})
+    score = duckdb_score_sql("tf.tf", "dl.dl", "dfc.df", "st.n", "st.avgdl")
+    o["fts_search_batch"] = f"""{_BASE},
+qt  AS (SELECT * FROM (VALUES {batch_pairs}) v(query_id, term)),
+tf  AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_sql_terms(all_terms)}) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc  AS (SELECT qt.query_id, tf.doc_id, tf.term, CAST({score} AS DOUBLE) AS s
+        FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+        JOIN qt USING (term) CROSS JOIN st),
+agg AS (SELECT query_id, doc_id, sum(s ORDER BY term) AS raw
+        FROM sc GROUP BY query_id, doc_id),
+rk  AS (SELECT query_id, doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY floor(raw * 1e6 + 0.5) / 1e6 DESC,
+                                           doc_id ASC) AS rank
+        FROM agg)
+SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5"""
+
+    # ---- dedup ----
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep"
+        " FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+    )
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH docs_tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 2),
+           i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS shingle
+       FROM docs_tok WHERE len(toks) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       floor((c::DOUBLE / (sa.n_sh + sb.n_sh - c)) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c::DOUBLE / (sa.n_sh + sb.n_sh - c) >= 0.3"""
+
+    # ---- text analysis ----
+    o["text_token_count"] = f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       len(list_distinct({toks})) AS n_unique_tokens
+FROM documents"""
+
+    stop = "['the','a','an','and','or','of','to','in','is','it']"
+    mean_len = (
+        f"list_sum(list_transform({toks}, t -> length(t)))::DOUBLE"
+        f" / greatest(len({toks}), 1)"
+    )
+    nstop = f"len(list_filter({toks}, t -> list_contains({stop}, t)))"
+    o["text_quality"] = f"""
+SELECT doc_id,
+  floor(COALESCE({mean_len}, 0.0) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+  floor(({nstop}::DOUBLE / greatest(len({toks}), 1)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+  floor((len(list_distinct({toks}))::DOUBLE / greatest(len({toks}), 1)) * 1e6 + 0.5) / 1e6 AS unique_ratio,
+  floor((length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 AS alpha_ratio
+FROM documents"""
+
+    markers = {
+        "en": "['the','and','of','to','a','in','is','it']",
+        "de": "['der','die','das','und','ist','nicht','ein','mit']",
+        "fr": "['le','la','les','et','est','une','des','que']",
+        "es": "['el','los','las','es','una','por','con','para']",
+    }
+    hits = {
+        lang: f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+        for lang, arr in markers.items()
+    }
+    o["text_langid"] = f"""
+WITH h AS (SELECT doc_id,
+    {hits['en']} AS e, {hits['de']} AS d, {hits['fr']} AS f, {hits['es']} AS s
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN greatest(e, d, f, s) = 0 THEN 'und'
+       WHEN d >= e AND d >= f AND d >= s THEN 'de'
+       WHEN e >= f AND e >= s THEN 'en'
+       WHEN s >= f THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  greatest(e, d, f, s)::BIGINT AS marker_hits
+FROM h"""
+
+    # ---- similarity ----
+    o["ann_cosine_top5"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+sc AS (SELECT q.query_id, v.vec_id,
+         floor((list_inner_product(v.vv, q.qv)
+                / (sqrt(list_inner_product(v.vv, v.vv))
+                   * sqrt(list_inner_product(q.qv, q.qv)))) * 1e6 + 0.5) / 1e6
+           AS cos_sim
+       FROM v CROSS JOIN q),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM sc)
+SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5"""
+
+    o["ann_embedding_neardup"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  floor((list_inner_product(a.vv, b.vv)
+         / (sqrt(list_inner_product(a.vv, a.vv))
+            * sqrt(list_inner_product(b.vv, b.vv)))) * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE floor((list_inner_product(a.vv, b.vv)
+             / (sqrt(list_inner_product(a.vv, a.vv))
+                * sqrt(list_inner_product(b.vv, b.vv)))) * 1e6 + 0.5) / 1e6 >= 0.4"""
+
+    # ---- multimodal ----
+    o["multimodal_binary_meta"] = (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
+        " md5(text) AS payload_md5 FROM documents"
+    )
+
+    return o
