@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs per round):
+    python bench.py
+  → builds the inverted index over $SPARK_GRAFT_SF_DIR/documents.parquet
+    (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], runs the
+    headline query battery, prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-step sec...}, "sf": ...}
+
+Scaling-evidence mode (BASELINE.md sandbox protocol for the north rule's
+N → 4N executors criterion):
+    python bench.py --scaling
+  → generates a deterministic 60k-page corpus once (cached), runs the
+    identical build job in fresh subprocess JVMs at local[8] and
+    local[32], and writes BENCH/BASELINE.md with throughput at both and
+    efficiency = docs/sec@32 / (4 × docs/sec@8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def _engine_and_times(spark, sf_dir: str) -> tuple:
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = corpus.count()
+    out = os.path.join(SCRATCH, "bench_index")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, out, n_buckets=16, n_salts=8)
+    build_sec = time.time() - t0
+    return SearchEngine(spark, out, corpus=corpus), corpus, n_docs, build_sec
+
+
+def run_battery(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    times: dict[str, float] = {}
+    eng, corpus, n_docs, times["build_index"] = _engine_and_times(spark, sf_dir)
+
+    def t(name, fn):
+        t0 = time.time()
+        fn()
+        times[name] = time.time() - t0
+
+    batch = {f"q{i}": q for i, q in enumerate(
+        ["the", "data table", "spark window agg", "fast slow filter",
+         "merge sort", "customer order line", "value key hash"] * 8
+    )}
+    t("q_bm25_hot", lambda: eng.search("the", k=10).collect())
+    t("q_bm25_multi", lambda: eng.search("data table scan", k=10).collect())
+    t("q_bm25_and", lambda: eng.search("the data table", k=10, mode="and").collect())
+    t("q_bool_and", lambda: eng.boolean_docs("and", "data", "table").count())
+    t("q_bool_not", lambda: eng.boolean_docs("not", "data", "table").count())
+    t("q_proximity_then", lambda: eng.proximity("the", "data", 3, True).count())
+    t("q_locate", lambda: eng.locate("merge").count())
+    t("q_batch_56", lambda: eng.search_many(batch, k=10).count())
+    t("q_extend", lambda: eng.extend("s", 10).collect())
+    t("q_scan_regex", lambda: eng.scan_docs("merge (fast|slow)").count())
+
+    def _dedup():
+        from femto_spark.ops.dedup import exact_duplicates
+
+        exact_duplicates(corpus).count()
+
+    def _minhash():
+        from femto_spark.ops.dedup import minhash_lsh_pairs
+
+        minhash_lsh_pairs(corpus, threshold=0.5).count()
+
+    def _ann():
+        from femto_spark.ops.similarity import brute_force_topk
+
+        embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        q = embs.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute_force_topk(embs, q, k=10).count()
+
+    def _textstats():
+        from femto_spark.ops.textstats import language_id, quality_score, token_count
+
+        token_count(corpus).count()
+        quality_score(corpus).count()
+        language_id(corpus).count()
+
+    t("op_dedup_exact", _dedup)
+    t("op_minhash_lsh", _minhash)
+    t("op_ann_topk", _ann)
+    t("op_textstats", _textstats)
+
+    times["_n_docs"] = n_docs
+    times["_build_docs_per_sec"] = n_docs / times["build_index"]
+    return times
+
+
+def main_default() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from femto_spark.session import get_spark
+
+    spark = get_spark("femto_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    times = run_battery(spark, sf_dir)
+    n_docs = times.pop("_n_docs")
+    dps = times.pop("_build_docs_per_sec")
+    total = sum(times.values())
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "index-build + query battery wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 4) for k, v in times.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "build_docs_per_sec": round(dps, 1),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+    spark.stop()
+
+
+# ---------------------------------------------------------------------------
+# scaling-evidence mode
+# ---------------------------------------------------------------------------
+
+SCALE_DOCS = int(os.environ.get("FEMTO_SCALE_DOCS", "60000"))
+SCALE_CORPUS = os.path.join(SCRATCH, f"scale_corpus_{SCALE_DOCS}")
+
+
+def _ensure_scale_corpus() -> None:
+    if os.path.exists(os.path.join(SCALE_CORPUS, "_SUCCESS")):
+        return
+    from femto_spark.corpus import generate_pages
+    from femto_spark.session import get_spark
+
+    print(f"generating {SCALE_DOCS}-page scale corpus...", file=sys.stderr)
+    spark = get_spark("gen_corpus", master="local[32]")
+    rows = generate_pages(SCALE_DOCS, seed=42)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(r["doc_id"], r["url"], r["text"], r["lang"]) for r in rows],
+        columns=["doc_id", "url", "text", "lang"],
+    )
+    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(
+        SCALE_CORPUS
+    )
+    spark.stop()
+
+
+def run_one_level(cpus: int) -> None:
+    """Subprocess body: identical build job at one parallelism level."""
+    from femto_spark.index import build_index
+    from femto_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale_{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    corpus = spark.read.parquet(SCALE_CORPUS)
+    n = corpus.count()
+    out = os.path.join(SCRATCH, f"scale_index_{cpus}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, corpus, out, n_buckets=32, n_salts=8)
+    dt = time.time() - t0
+
+    # query-batch throughput at the same level
+    from femto_spark.query import SearchEngine
+
+    eng = SearchEngine(spark, out, corpus=corpus)
+    batch = {
+        f"q{i}": q
+        for i, q in enumerate(
+            ["t00000 t00005", "t00010", "t00001 t00042 t00123", "r001", "r017 t00002"] * 40
+        )
+    }
+    tq0 = time.time()
+    eng.search_many(batch, k=10).count()
+    tq = time.time() - tq0
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": n,
+                "build_sec": dt,
+                "docs_per_sec": n / dt,
+                "batch200_sec": tq,
+                "queries_per_sec": len(batch) / tq,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling() -> None:
+    _ensure_scale_corpus()
+    results = {}
+    for cpus in (8, 32):
+        print(f"running build at local[{cpus}]...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--level", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line, file=sys.stderr)
+    r8, r32 = results[8], results[32]
+    build_eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
+    q_eff = r32["queries_per_sec"] / (4 * r8["queries_per_sec"])
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — N vs 4N scaling evidence (sandbox protocol)
+
+Per BASELINE.md: no multi-node cluster exists in this sandbox, so the
+north rule's "N → 4N executors" criterion is evidenced by running the
+IDENTICAL build + query-batch job in fresh JVMs at `local[8]` (N) and
+`local[32]` (4N) over the same deterministic {r8['n_docs']:,}-page corpus
+(seeded generator, Zipf term skew; femto_spark/corpus.py).
+
+| level | build sec | build docs/sec | 200-query batch sec | queries/sec |
+|---|---|---|---|---|
+| local[8]  (N)  | {r8['build_sec']:.1f} | {r8['docs_per_sec']:.0f} | {r8['batch200_sec']:.1f} | {r8['queries_per_sec']:.1f} |
+| local[32] (4N) | {r32['build_sec']:.1f} | {r32['docs_per_sec']:.0f} | {r32['batch200_sec']:.1f} | {r32['queries_per_sec']:.1f} |
+
+- **Build scaling efficiency** = docs/sec@4N / (4 × docs/sec@N) = **{build_eff:.2f}**
+- **Query-batch scaling efficiency** = qps@4N / (4 × qps@N) = **{q_eff:.2f}**
+- Reference precedent (FEMTO paper §3.5): 0.89 at 1→4 nodes; target ≥ 0.8.
+
+Caveats: both levels share one machine's memory bandwidth and page cache,
+which *understates* true multi-node scaling for the shuffle-light salted
+build; JVM/task fixed overheads dominate the small corpus, which also
+understates it. The code path (explicit salted partitioning, bucketed
+writes, AQE) is identical to what a 1000-executor cluster would run.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--level" in sys.argv:
+        run_one_level(int(sys.argv[sys.argv.index("--level") + 1]))
+    else:
+        main_default()
