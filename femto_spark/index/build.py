@@ -52,6 +52,7 @@ from ..codec import (
     encode_postings,
 )
 from ..tokenizer import spark_tokens_expr
+from ..xxhash import term_bucket
 
 # ---------------------------------------------------------------------------
 # schemas
@@ -107,28 +108,83 @@ def _posting_row(term, doc_ids, tfs, dls, pos_blob):
 
 
 # ---------------------------------------------------------------------------
+# sorted-stream group processing
+# ---------------------------------------------------------------------------
+#
+# Both build stages process a stream that is repartitioned on the group key
+# and sorted within partitions (repartition + sortWithinPartitions — the
+# Spark form of FEMTO's distribute-then-sort bins, dcx.hh:4214). We then
+# stream the partition through mapInPandas and cut group boundaries
+# ourselves. This avoids applyInPandas' per-group Arrow exchange — with a
+# Zipf vocabulary there are ~vocab×n_salts tiny groups, and per-group
+# overhead dominates; a partition-level stream pays it once per partition.
+
+
+def _stream_groups(batches, key_cols: list[str], process):
+    """Yield process(group_pdf) for each contiguous group of `key_cols` in a
+    sorted batch stream, carrying partial groups across Arrow batches."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        n = len(pdf)
+        if n == 0:
+            continue
+        change = np.zeros(n, dtype=bool)
+        for c in key_cols:
+            v = pdf[c].to_numpy()
+            change[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(np.concatenate(([True], change[1:])))
+        # hold back the last (possibly incomplete) group
+        last = starts[-1]
+        carry = pdf.iloc[last:]
+        for i in range(len(starts) - 1):
+            out = process(pdf.iloc[starts[i] : starts[i + 1]])
+            if out is not None:
+                yield out
+    if carry is not None and len(carry):
+        out = process(carry)
+        if out is not None:
+            yield out
+
+
+def _batched(row_iter, batch_rows: int = 64):
+    """Collect small per-group result dicts into DataFrame batches."""
+    buf: list[dict] = []
+    for rows in row_iter:
+        buf.extend(rows if isinstance(rows, list) else [rows])
+        if len(buf) >= batch_rows:
+            yield pd.DataFrame(buf)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf)
+
+
+# ---------------------------------------------------------------------------
 # stage 1: token rows → partial posting runs per (term, salt)
 # ---------------------------------------------------------------------------
 
 
-def _encode_partials(keys, pdf: pd.DataFrame):
-    """applyInPandas over (term, salt): sort token hits by (doc, pos),
-    collapse to (doc_id, tf, dl, positions), varint-encode one partial run.
+def _encode_partials_stream(batches):
+    """mapInPandas over a (term, salt)-partitioned, (term, salt, doc_id,
+    pos)-sorted stream: per group, collapse to (doc_id, tf, dl, positions)
+    and varint-encode one partial run. All numpy — no per-row Python
+    (input_hint mandate). Group size ≈ df(term)/n_salts hits — the salted
+    bound on task memory."""
 
-    All numpy — no per-row Python (input_hint mandate). The group's size is
-    ~df(term)/n_salts hits, the salted bound on task memory.
-    """
-    term, salt = keys[0], int(keys[1])
-    doc = pdf["doc_id"].to_numpy(np.int64)
-    pos = pdf["pos"].to_numpy(np.int64)
-    dl = pdf["dl"].to_numpy(np.int64)
-    order = np.lexsort((pos, doc))
-    doc, pos, dl = doc[order], pos[order], dl[order]
-    uniq_doc, starts, tfs = np.unique(doc, return_index=True, return_counts=True)
-    pos_blob = encode_positions_flat(pos, tfs)
-    row = _posting_row(term, uniq_doc, tfs, dl[starts], pos_blob)
-    row["salt"] = salt
-    return pd.DataFrame([row])
+    def _one(g: pd.DataFrame) -> dict:
+        doc = g["doc_id"].to_numpy(np.int64)
+        pos = g["pos"].to_numpy(np.int64)
+        dl = g["dl"].to_numpy(np.int64)
+        # stream is pre-sorted by (doc_id, pos) within the group
+        uniq_doc, starts, tfs = np.unique(doc, return_index=True, return_counts=True)
+        pos_blob = encode_positions_flat(pos, tfs)
+        row = _posting_row(g["term"].iloc[0], uniq_doc, tfs, dl[starts], pos_blob)
+        row["salt"] = int(g["salt"].iloc[0])
+        return row
+
+    yield from _batched(_stream_groups(batches, ["term", "salt"], _one))
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +192,13 @@ def _encode_partials(keys, pdf: pd.DataFrame):
 # ---------------------------------------------------------------------------
 
 
-def _make_merge_partials(shard_size: int):
-    def _merge(keys, pdf: pd.DataFrame):
-        term = keys[0]
+def _make_merge_stream(shard_size: int, n_buckets: int):
+    """mapInPandas over a term-partitioned, (term, salt)-sorted stream of
+    partial runs: k-way merge each term's ≤ n_salts compressed runs and
+    emit sharded final rows."""
+
+    def _merge(pdf: pd.DataFrame):
+        term = pdf["term"].iloc[0]
         runs = []
         for r in pdf.itertuples(index=False):
             d, t, l = decode_postings(bytes(r.postings), r.n, r.tf_off, r.dl_off)
@@ -167,7 +227,7 @@ def _make_merge_partials(shard_size: int):
         )
         flat_sorted = flat[out_idx]
 
-        bucket = int(pdf["bucket"].iloc[0])
+        bucket = term_bucket(term, n_buckets)
         df_total = int(doc.size)
         rows = []
         pos_bounds = np.concatenate(([0], np.cumsum(lens)))
@@ -179,9 +239,12 @@ def _make_merge_partials(shard_size: int):
             row = _posting_row(term, doc[lo:hi], tfs[lo:hi], dls[lo:hi], pb)
             row.update({"bucket": bucket, "shard": shard, "df": df_total})
             rows.append(row)
-        return pd.DataFrame(rows)
+        return rows
 
-    return _merge
+    def _stream(batches):
+        yield from _batched(_stream_groups(batches, ["term"], _merge))
+
+    return _stream
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +285,7 @@ def build_index(
     n_buckets: int = 16,
     n_salts: int = 8,
     shard_size: int = 1 << 18,
+    n_partitions: int | None = None,
     resume: bool = False,
     with_positions: bool = True,
 ) -> dict:
@@ -270,12 +334,16 @@ def build_index(
             "total_tokens": total_tokens,
             # float64 division once, here — every scorer reads this value
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "n_buckets": n_buckets,
+            "n_salts": n_salts,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
         dt = time.time() - t0
         _commit(out_dir, "docs", {"secs": dt, **stats})
         report["stages"]["docs"] = dt
+
+    n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # ---- stage: partials (salted stage-1 encode) --------------------------
     partials_path = os.path.join(out_dir, "partials")
@@ -289,8 +357,12 @@ def build_index(
         ).withColumn(
             "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
         )
-        partials = hits.groupBy("term", "salt").applyInPandas(
-            _encode_partials, PARTIAL_SCHEMA
+        # FEMTO's distribute-then-sort-bins, Spark form: one shuffle keyed
+        # (term, salt), partition-local sort, partition-level stream encode
+        partials = (
+            hits.repartition(n_part, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id", "pos")
+            .mapInPandas(_encode_partials_stream, PARTIAL_SCHEMA)
         )
         partials.write.mode("overwrite").parquet(partials_path)
         dt = time.time() - t0
@@ -302,13 +374,17 @@ def build_index(
     if _stage("index"):
         t0 = time.time()
         _fresh(index_path)
-        partials = spark.read.parquet(partials_path).withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        partials = spark.read.parquet(partials_path)
+        merged = (
+            partials.repartition(n_part, "term")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_make_merge_stream(shard_size, n_buckets), INDEX_SCHEMA)
         )
-        merged = partials.groupBy("term").applyInPandas(
-            _make_merge_partials(shard_size), INDEX_SCHEMA
-        )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+        # one output file per bucket: query-side scans then launch at most
+        # |buckets-hit| tasks instead of |written-tasks × buckets|
+        merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(index_path)
         dt = time.time() - t0
         _commit(out_dir, "index", {"secs": dt})
         report["stages"]["index"] = dt

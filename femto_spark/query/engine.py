@@ -88,28 +88,24 @@ class SearchEngine:
     def _term_rows(self, terms: list[str]) -> DataFrame:
         """Posting rows for `terms`, with bucket-level partition pruning
         (the analogue of FEMTO's HDR_BSEARCH block lookup: only the
-        buckets that can hold these terms are read)."""
+        buckets that can hold these terms are read). Buckets are computed
+        driver-side with the Spark-parity xxhash64 — zero probe jobs."""
         if not terms:
             return self._index.limit(0)
-        # reproduce the build's bucket assignment JVM-side for pruning
-        probe = self.spark.createDataFrame([(t,) for t in terms], "term string")
-        buckets = [
-            r["b"]
-            for r in probe.select(
-                F.pmod(F.xxhash64("term"), F.lit(self._buckets())).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
+        from ..xxhash import term_bucket
+
+        nb = self._buckets()
+        buckets = sorted({term_bucket(t, nb) for t in terms})
         return self._index.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
     def _buckets(self) -> int:
         if self._n_buckets is None:
-            self._n_buckets = (
-                self._index.select(F.max("bucket")).collect()[0][0] or 0
-            ) + 1
+            nb = self.stats.get("n_buckets")
+            if nb is None:  # older index layout: derive once
+                nb = (self._index.select(F.max("bucket")).collect()[0][0] or 0) + 1
+            self._n_buckets = int(nb)
         return self._n_buckets
 
     def postings(self, terms: list[str], scored: bool = True) -> DataFrame:

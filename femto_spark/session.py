@@ -29,7 +29,7 @@ def get_spark(
         .master(master)
         # Arrow everywhere: all our custom operators are pandas/Arrow UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # AQE handles runtime re-planning + skew-join splitting at scale.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
