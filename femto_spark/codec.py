@@ -177,6 +177,58 @@ def decode_postings(
     return doc_ids, tfs, dls
 
 
+def decode_postings_blocks(
+    blob: bytes,
+    n: int,
+    tf_off: int,
+    dl_off: int,
+    block_last_doc: np.ndarray,
+    block_gap_off: np.ndarray,
+    block_tf_off: np.ndarray,
+    block_dl_off: np.ndarray,
+    selected: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ONLY the selected blocks (sorted block indices) — the
+    skip-read primitive behind block-max WAND. Consecutive runs of selected
+    blocks are decoded in one vectorized varint pass. Returns concatenated
+    (doc_ids, tfs, dls) for the selected blocks, in doc_id order."""
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    nblocks = len(block_last_doc)
+    sect = {
+        "gap": (np.asarray(block_gap_off), 0, tf_off),
+        "tf": (np.asarray(block_tf_off), tf_off, dl_off),
+        "dl": (np.asarray(block_dl_off), dl_off, len(blob)),
+    }
+    sel = np.asarray(selected, dtype=np.int64)
+    if sel.size == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    # split into runs of consecutive block indices
+    run_breaks = np.flatnonzero(np.diff(sel) != 1) + 1
+    runs = np.split(sel, run_breaks)
+    docs_out, tfs_out, dls_out = [], [], []
+    for run in runs:
+        i, j = int(run[0]), int(run[-1]) + 1
+        count = min(j * BLOCK_SIZE, n) - i * BLOCK_SIZE
+
+        def _sect_decode(name: str) -> np.ndarray:
+            offs, base, end = sect[name]
+            lo = base + int(offs[i])
+            hi = base + int(offs[j]) if j < nblocks else end
+            return varint_decode(buf[lo:hi], count)
+
+        gaps = _sect_decode("gap")
+        base_doc = int(block_last_doc[i - 1]) if i > 0 else 0
+        docs_out.append(np.cumsum(gaps.astype(np.int64)) + base_doc)
+        tfs_out.append(_sect_decode("tf").astype(np.int64))
+        dls_out.append(_sect_decode("dl").astype(np.int64))
+    return (
+        np.concatenate(docs_out),
+        np.concatenate(tfs_out),
+        np.concatenate(dls_out),
+    )
+
+
 # --------------------------------------------------------------------------
 # positions blob (proximity / phrase support)
 # --------------------------------------------------------------------------

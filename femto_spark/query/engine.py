@@ -228,6 +228,63 @@ class SearchEngine:
             .limit(k)
         )
 
+    # -- block-max WAND path (skip-decode; rank-identical to search()) ----
+
+    _WAND_COLS = [
+        "term", "df", "n", "tf_off", "dl_off", "block_last_doc",
+        "block_max_tf", "block_min_dl", "block_gap_off", "block_tf_off",
+        "block_dl_off", "postings",
+    ]
+
+    def search_wand(self, query: str, k: int = 10) -> DataFrame:
+        """BM25 top-k via block-max WAND (OR mode): per-block upper bounds
+        skip decoding blocks that cannot reach the k-th score; exact
+        verification keeps results identical to search(). One compact task
+        per query — the latency path; FEMTO analogue: chunk-doc-map
+        skipping (server.c:4549, paper §3.3)."""
+        return (
+            self.search_many_wand({"q": query}, k)
+            .select("doc_id", "score")
+        )
+
+    def search_many_wand(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Batched WAND: each query's term rows are co-grouped into one
+        task (applyInPandas over query_id), so a 100k-query batch spreads
+        across all executors — the request-sorting analogue — while each
+        task does block-skipping locally. Memory per task is bounded by
+        the query's terms' blob bytes (shard rows cap each blob)."""
+        pairs = []
+        for qid, q in queries.items():
+            for t in sorted(set(tokenize(q))):
+                pairs.append((qid, t))
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double, rank int"
+            )
+        qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
+        terms = sorted({t for _, t in pairs})
+        rows = self._term_rows(terms).select(*self._WAND_COLS)
+        joined = rows.join(F.broadcast(qdf), "term")
+        n_docs, avgdl, kk = self.n_docs, self.avgdl, k
+
+        def _wand(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+            from .wand import wand_topk
+
+            trs = pdf.to_dict("records")
+            d, s = wand_topk(trs, kk, n_docs, avgdl)
+            return pd.DataFrame(
+                {
+                    "query_id": keys[0],
+                    "doc_id": d,
+                    "score": s,
+                    "rank": np.arange(1, d.size + 1, dtype=np.int32),
+                }
+            )
+
+        return joined.groupBy("query_id").applyInPandas(
+            _wand, "query_id string, doc_id long, score double, rank int"
+        )
+
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Whole-batch execution of many queries in ONE Spark job — the
         analogue of FEMTO's request sorting (§4.2: batching 100k counts
