@@ -100,7 +100,7 @@ def _engine(spark: SparkSession, sf_dir: str):
         return _ENGINES[key]
     corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = os.path.join(_SCRATCH, "index_" + key.strip("/").replace("/", "_"))
-    build_index(spark, corpus, out, n_buckets=16, n_salts=8, resume=True)
+    build_index(spark, corpus, out, n_buckets=16, resume=True)
     eng = SearchEngine(spark, out, corpus=corpus)
     _ENGINES[key] = eng
     return eng

@@ -40,7 +40,7 @@ def _engine_and_times(spark, sf_dir: str) -> tuple:
     out = os.path.join(SCRATCH, "bench_index")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, corpus, out, n_buckets=16, n_salts=8)
+    build_index(spark, corpus, out, n_buckets=16)
     build_sec = time.time() - t0
     return SearchEngine(spark, out, corpus=corpus), corpus, n_docs, build_sec
 
@@ -140,33 +140,29 @@ def main_default() -> None:
 # scaling-evidence mode
 # ---------------------------------------------------------------------------
 
-SCALE_DOCS = int(os.environ.get("FEMTO_SCALE_DOCS", "60000"))
+SCALE_DOCS = int(os.environ.get("FEMTO_SCALE_DOCS", "240000"))
 SCALE_CORPUS = os.path.join(SCRATCH, f"scale_corpus_{SCALE_DOCS}")
 
 
 def _ensure_scale_corpus() -> None:
     if os.path.exists(os.path.join(SCALE_CORPUS, "_SUCCESS")):
         return
-    from femto_spark.corpus import generate_pages
+    from femto_spark.corpus import generate_pages_distributed
     from femto_spark.session import get_spark
 
     print(f"generating {SCALE_DOCS}-page scale corpus...", file=sys.stderr)
     spark = get_spark("gen_corpus", master="local[32]")
-    rows = generate_pages(SCALE_DOCS, seed=42)
-    import pandas as pd
-
-    pdf = pd.DataFrame(
-        [(r["doc_id"], r["url"], r["text"], r["lang"]) for r in rows],
-        columns=["doc_id", "url", "text", "lang"],
-    )
-    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(
-        SCALE_CORPUS
-    )
+    generate_pages_distributed(spark, SCALE_DOCS, seed=42).write.mode(
+        "overwrite"
+    ).parquet(SCALE_CORPUS)
     spark.stop()
 
 
 def run_one_level(cpus: int) -> None:
-    """Subprocess body: identical build job at one parallelism level."""
+    """Subprocess body: identical build + query-batch job at one
+    parallelism level. Python-worker pool and parquet footers are warmed
+    before each timed section so the measurement captures steady-state
+    throughput, not cold-start."""
     from femto_spark.index import build_index
     from femto_spark.session import get_spark
 
@@ -175,34 +171,52 @@ def run_one_level(cpus: int) -> None:
     )
     corpus = spark.read.parquet(SCALE_CORPUS)
     n = corpus.count()
+
+    # warm the python worker pool (imports numpy/pandas in every worker)
+    import pandas as pd
+
+    spark.range(cpus * 4).repartition(cpus * 2).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
     out = os.path.join(SCRATCH, f"scale_index_{cpus}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, corpus, out, n_buckets=32, n_salts=8)
+    rep = build_index(spark, corpus, out, n_buckets=32)
     dt = time.time() - t0
 
-    # query-batch throughput at the same level
+    # query-batch throughput at the same level (exact and WAND paths)
     from femto_spark.query import SearchEngine
 
     eng = SearchEngine(spark, out, corpus=corpus)
-    batch = {
-        f"q{i}": q
-        for i, q in enumerate(
-            ["t00000 t00005", "t00010", "t00001 t00042 t00123", "r001", "r017 t00002"] * 40
-        )
-    }
+    uniq = [
+        "t00000 t00005", "t00010", "t00001 t00042 t00123", "t00777",
+        "t00002 t00040", "t01234 t00003", "t00020 t00021 t00022",
+        "t00300", "t00004 t05000", "t00050 t00060",
+    ]
+    batch = {f"q{i}": uniq[i % len(uniq)] + f" t{i % 2000:05d}" for i in range(1000)}
+    small = {k: batch[k] for k in list(batch)[:100]}
+    eng.search_many({"w": "t00001"}, k=10).count()  # warm the query path
     tq0 = time.time()
-    eng.search_many(batch, k=10).count()
+    eng.search_many(small, k=10).count()
     tq = time.time() - tq0
+    tw0 = time.time()
+    eng.search_many_wand(batch, k=10).count()
+    tw = time.time() - tw0
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "n_docs": n,
                 "build_sec": dt,
+                "build_stages": {k: round(v, 2) for k, v in rep["stages"].items()},
                 "docs_per_sec": n / dt,
-                "batch200_sec": tq,
-                "queries_per_sec": len(batch) / tq,
+                "batch_n": len(small),
+                "batch_sec": tq,
+                "queries_per_sec": len(small) / tq,
+                "wand_batch_n": len(batch),
+                "wand_batch_sec": tw,
+                "wand_queries_per_sec": len(batch) / tw,
             }
         )
     )
@@ -213,9 +227,13 @@ def main_scaling() -> None:
     _ensure_scale_corpus()
     results = {}
     for cpus in (8, 32):
-        print(f"running build at local[{cpus}]...", file=sys.stderr)
+        print(f"running build at local[{cpus}] (pinned to {cpus} cores)...", file=sys.stderr)
+        # Pin the whole process tree (JVM + python UDF workers) to exactly
+        # `cpus` cores — otherwise local[8]'s python workers borrow the
+        # other 24 cores and the N-vs-4N comparison is meaningless.
         proc = subprocess.run(
-            [sys.executable, __file__, "--level", str(cpus)],
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
+             "--level", str(cpus)],
             capture_output=True,
             text=True,
             cwd=REPO,
@@ -226,6 +244,7 @@ def main_scaling() -> None:
     r8, r32 = results[8], results[32]
     build_eff = r32["docs_per_sec"] / (4 * r8["docs_per_sec"])
     q_eff = r32["queries_per_sec"] / (4 * r8["queries_per_sec"])
+    w_eff = r32["wand_queries_per_sec"] / (4 * r8["wand_queries_per_sec"])
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — N vs 4N scaling evidence (sandbox protocol)
 
@@ -233,22 +252,30 @@ Per BASELINE.md: no multi-node cluster exists in this sandbox, so the
 north rule's "N → 4N executors" criterion is evidenced by running the
 IDENTICAL build + query-batch job in fresh JVMs at `local[8]` (N) and
 `local[32]` (4N) over the same deterministic {r8['n_docs']:,}-page corpus
-(seeded generator, Zipf term skew; femto_spark/corpus.py).
+(counter-based per-doc RNG, Zipf term skew; femto_spark/corpus.py
+generate_pages_distributed). Python worker pools and the query path are
+warmed before each timed section (steady-state throughput, not JVM/worker
+cold-start).
 
-| level | build sec | build docs/sec | 200-query batch sec | queries/sec |
-|---|---|---|---|---|
-| local[8]  (N)  | {r8['build_sec']:.1f} | {r8['docs_per_sec']:.0f} | {r8['batch200_sec']:.1f} | {r8['queries_per_sec']:.1f} |
-| local[32] (4N) | {r32['build_sec']:.1f} | {r32['docs_per_sec']:.0f} | {r32['batch200_sec']:.1f} | {r32['queries_per_sec']:.1f} |
+| level | build sec | build docs/sec | exact batch ({r8['batch_n']}q) sec | exact qps | WAND batch ({r8.get('wand_batch_n', 1000)}q) sec | WAND qps |
+|---|---|---|---|---|---|---|
+| local[8]  (N)  | {r8['build_sec']:.1f} | {r8['docs_per_sec']:.0f} | {r8['batch_sec']:.1f} | {r8['queries_per_sec']:.1f} | {r8['wand_batch_sec']:.1f} | {r8['wand_queries_per_sec']:.1f} |
+| local[32] (4N) | {r32['build_sec']:.1f} | {r32['docs_per_sec']:.0f} | {r32['batch_sec']:.1f} | {r32['queries_per_sec']:.1f} | {r32['wand_batch_sec']:.1f} | {r32['wand_queries_per_sec']:.1f} |
+
+Build stage seconds (N → 4N): {json.dumps(r8['build_stages'])} → {json.dumps(r32['build_stages'])}
 
 - **Build scaling efficiency** = docs/sec@4N / (4 × docs/sec@N) = **{build_eff:.2f}**
-- **Query-batch scaling efficiency** = qps@4N / (4 × qps@N) = **{q_eff:.2f}**
+- **Query-batch scaling efficiency (exact path)** = **{q_eff:.2f}**
+- **Query-batch scaling efficiency (WAND path)** = **{w_eff:.2f}**
 - Reference precedent (FEMTO paper §3.5): 0.89 at 1→4 nodes; target ≥ 0.8.
 
-Caveats: both levels share one machine's memory bandwidth and page cache,
-which *understates* true multi-node scaling for the shuffle-light salted
-build; JVM/task fixed overheads dominate the small corpus, which also
-understates it. The code path (explicit salted partitioning, bucketed
-writes, AQE) is identical to what a 1000-executor cluster would run.
+Caveats: both levels share ONE machine's memory bandwidth, page cache and
+disk — a local[8] process on a 32-core box gets the full memory system to
+itself, so this protocol *understates* true multi-node scaling where each
+executor brings its own memory channels and disks. JVM scheduling overhead
+per stage is constant (serial fraction) and shrinks with corpus size. The
+code path (explicit salted partitioning, bucketed writes, AQE) is
+identical to what a 1000-executor cluster would run.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -142,6 +142,46 @@ def generate_pages(n_rows: int, seed: int = 42) -> list[dict]:
     return out
 
 
+def generate_pages_distributed(spark, n_rows: int, seed: int = 42, n_tok_max: int = 300):
+    """Deterministic corpus generated IN PARALLEL on the executors —
+    the scale path (the sequential generate_pages is the fixture path).
+
+    Determinism without a shared RNG stream: each doc's tokens come from a
+    counter-based Philox generator keyed (seed, doc_id), so any partitioning
+    of the id range yields identical rows. Token draws are vectorized
+    (searchsorted over the Zipf CDF). Returns (doc_id, url, text, lang).
+    """
+    import numpy as np
+    import pandas as pd
+
+    w = np.array(_zipf_weights(VOCAB_SIZE, ZIPF_S))
+    cdf = np.cumsum(w / w.sum())
+    words = np.array(vocab())
+    langs = np.array(["en", "de", "fr"])
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            texts, lang_out = [], []
+            for i in ids:
+                rng = np.random.Generator(np.random.Philox(key=[seed, int(i)]))
+                n_tok = int(rng.integers(30, n_tok_max + 1))
+                idx = np.searchsorted(cdf, rng.random(n_tok))
+                texts.append(" ".join(words[idx]))
+                lang_out.append(langs[int(rng.integers(0, 100)) % 3 if rng.random() < 0.05 else 0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [f"https://gen.example/p{i:09d}" for i in ids],
+                    "text": texts,
+                    "lang": lang_out,
+                }
+            )
+
+    ids = spark.range(n_rows).toDF("id").repartition(64)
+    return ids.mapInPandas(_gen, "doc_id long, url string, text string, lang string")
+
+
 def pages_dataframe(spark, n_rows: int, seed: int = 42):
     """Pages as a Spark DataFrame with the input_hint schema + doc_id."""
     from pyspark.sql import types as T

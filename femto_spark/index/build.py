@@ -3,33 +3,49 @@ parallel external-memory index builder (`femto_index`).
 
 FEMTO's build plan (SURVEY.md §2.2, `/root/reference/src/dcx_cc/dcx.hh`) is
 {read → sample splitters → form tuples → distribute → sort bins → merge →
-encode blocks → write + header}. Ours is the same shape in Spark terms:
+encode blocks → write + header}. Ours is the same shape with the heavy
+lifting MAP-SIDE:
 
-    corpus ──tokenize (JVM exprs)──▶ token rows (term, doc_id, pos, dl)
-        ── shuffle on (term, salt) ──▶ stage 1: partial sorted posting runs
-           (applyInPandas: numpy sort + delta/varint encode)     [PARTIALS]
-        ── shuffle on term ──▶ stage 2: k-way merge of ≤ n_salts runs per
-           term, shard into ≤ shard_size posting rows, final encode [INDEX]
-        plus doc-length table, global stats, term stats          [HEADER]
+  corpus ──tokenize (JVM exprs)──▶ (doc_id, dl, tokens array)
+      │  NO raw-token shuffle: each corpus partition is streamed through
+      ▼  one Arrow pass
+  stage 1  mapInPandas: factorize the batch's tokens, sort hits by
+           (term, doc, pos) in numpy, emit one compressed partial RUN per
+           (term, doc-range group) per batch              [PARTIALS ✓ ckpt]
+      │  the only shuffle moves compressed runs, keyed (term, grp)
+      ▼
+  stage 2  mapInPandas stream: k-way merge each (term, grp)'s runs →
+           ≤ shard_size rows with block-max metadata       [INDEX]
+      ▼
+  df-per-row via window sum over term; bucket-partitioned parquet write
+  + docs/ + stats.json + termstats/ + manifest/            [HEADER]
 
-Skew (the north rule's named concern): hot Zipf terms are split across
-`n_salts` stage-1 tasks keyed by hash(doc_id) — FEMTO's sampled range
-splitters (`dcx.hh:3723`) solved the same problem for suffix tuples. The
-stage-2 merge input per term is n_salts *compressed* runs, so a single
-task's bytes stay bounded; at 100 TB you raise n_salts (and shard_size
-caps any one output row). Stage 1 does the heavy lifting map-side — it is
-the analogue of Spark's partial aggregation.
+Skew (the north rule's named concern): the merge task for a hot term is
+bounded TWO ways — `grp = doc_id >> range_shift` splits every term's
+postings into disjoint doc-range groups (a hot term with df=10^11 becomes
+~10^11/2^range_shift independent merge tasks), and `shard_size` caps any
+single output row. doc-ranges are the salting dimension here exactly like
+FEMTO's sampled splitters partition the suffix space (`dcx.hh:3723`);
+unlike hash salts, range groups keep global doc order, so shards stay
+sorted and incremental appends (new doc_ids above the old max) land in
+fresh groups without touching old ones.
+
+Earlier design note: a first implementation shuffled raw (term, doc, pos)
+hits to salted reducers; profiling showed the 40M-row shuffle + JVM string
+sort + Arrow transfer cost ~30 s and did not scale past 8 cores, while the
+numpy encode was cheap. Map-side runs remove that entire data movement —
+the classic partial-aggregation trade.
 
 Checkpoint/resume (north rule): every stage commits atomically — data
 files first, then a `_COMMITTED_<stage>.json` marker; a manifest table
-records per-partition lineage metrics (rows, postings, bytes, like FEMTO's
+records per-partition lineage metrics (rows, postings, bytes — FEMTO's
 `REPORT DISK_BYTES_*` lines, `dcx.hh:6148-6157`). `build_index(...,
-resume=True)` skips stages whose marker exists — kill/rerun equals
-one-shot (tests/test_resume.py).
+resume=True)` skips committed stages — kill/rerun equals one-shot
+(tests/test_resume.py).
 
 Storage is Parquet partitioned by `bucket` (hash(term) % n_buckets) —
-standing in for an Iceberg `bucket(term)` partition transform; swap
-`_write`'s format for "iceberg" when a catalog is configured.
+standing in for an Iceberg `bucket(term)` partition transform; swap the
+writes for `writeTo(...)` when a catalog is configured.
 """
 
 from __future__ import annotations
@@ -41,7 +57,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -75,14 +91,14 @@ _POSTING_FIELDS = [
 ]
 
 PARTIAL_SCHEMA = T.StructType(
-    [T.StructField("salt", T.IntegerType(), False)] + _POSTING_FIELDS
+    [T.StructField("grp", T.LongType(), False)] + _POSTING_FIELDS
 )
 
-INDEX_SCHEMA = T.StructType(
+MERGED_SCHEMA = T.StructType(
     [
         T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("grp", T.LongType(), False),
         T.StructField("shard", T.IntegerType(), False),
-        T.StructField("df", T.LongType(), False),  # term-level df (all shards)
     ]
     + _POSTING_FIELDS
 )
@@ -107,17 +123,84 @@ def _posting_row(term, doc_ids, tfs, dls, pos_blob):
     }
 
 
+def _batched(row_iter, batch_rows: int = 64):
+    """Collect small per-group result dicts into DataFrame batches."""
+    buf: list[dict] = []
+    for rows in row_iter:
+        buf.extend(rows if isinstance(rows, list) else [rows])
+        if len(buf) >= batch_rows:
+            yield pd.DataFrame(buf)
+            buf = []
+    if buf:
+        yield pd.DataFrame(buf)
+
+
 # ---------------------------------------------------------------------------
-# sorted-stream group processing
+# stage 1: map-side partial runs — (term, grp) per Arrow batch
 # ---------------------------------------------------------------------------
-#
-# Both build stages process a stream that is repartitioned on the group key
-# and sorted within partitions (repartition + sortWithinPartitions — the
-# Spark form of FEMTO's distribute-then-sort bins, dcx.hh:4214). We then
-# stream the partition through mapInPandas and cut group boundaries
-# ourselves. This avoids applyInPandas' per-group Arrow exchange — with a
-# Zipf vocabulary there are ~vocab×n_salts tiny groups, and per-group
-# overhead dominates; a partition-level stream pays it once per partition.
+
+
+def _make_encode_mapside(range_shift: int):
+    def _encode(batches):
+        """mapInPandas over corpus partitions carrying (doc_id, dl,
+        tokens). Per Arrow batch: flatten token arrays, pd.factorize the
+        terms (C-speed), numpy-sort hits by (term, doc, pos), cut
+        (term, grp) segments, varint-encode each as one partial run.
+        No per-row Python (input_hint mandate); no shuffle has happened —
+        this is the map-side combine."""
+
+        def _rows():
+            for pdf in batches:
+                toks = pdf["tokens"]
+                lens = pdf["dl"].to_numpy(np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                codes, uniq_terms = pd.factorize(flat_terms, sort=False)
+                doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+                dl_rep = np.repeat(lens, lens)
+                starts = np.cumsum(lens) - lens
+                pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+                # grp is monotone in doc_id → sorting by (term, doc) sorts grp
+                order = np.lexsort((pos, doc_rep, codes))
+                codes_s = codes[order]
+                doc_s = doc_rep[order]
+                grp_s = doc_s >> range_shift
+                dl_s = dl_rep[order]
+                pos_s = pos[order]
+                # segment boundaries where (term, grp) changes
+                change = np.empty(total, dtype=bool)
+                change[0] = True
+                change[1:] = (codes_s[1:] != codes_s[:-1]) | (
+                    grp_s[1:] != grp_s[:-1]
+                )
+                seg_starts = np.flatnonzero(change)
+                seg_ends = np.append(seg_starts[1:], total)
+                for lo, hi in zip(seg_starts, seg_ends):
+                    d = doc_s[lo:hi]
+                    uniq_doc, u_starts, tfs = np.unique(
+                        d, return_index=True, return_counts=True
+                    )
+                    pos_blob = encode_positions_flat(pos_s[lo:hi], tfs)
+                    row = _posting_row(
+                        str(uniq_terms[codes_s[lo]]),
+                        uniq_doc,
+                        tfs,
+                        dl_s[lo:hi][u_starts],
+                        pos_blob,
+                    )
+                    row["grp"] = int(grp_s[lo])
+                    yield row
+
+        yield from _batched(_rows())
+
+    return _encode
+
+
+# ---------------------------------------------------------------------------
+# stage 2: merge partial runs per (term, grp) → sharded final rows
+# ---------------------------------------------------------------------------
 
 
 def _stream_groups(batches, key_cols: list[str], process):
@@ -136,7 +219,6 @@ def _stream_groups(batches, key_cols: list[str], process):
             v = pdf[c].to_numpy()
             change[1:] |= v[1:] != v[:-1]
         starts = np.flatnonzero(np.concatenate(([True], change[1:])))
-        # hold back the last (possibly incomplete) group
         last = starts[-1]
         carry = pdf.iloc[last:]
         for i in range(len(starts) - 1):
@@ -149,53 +231,11 @@ def _stream_groups(batches, key_cols: list[str], process):
             yield out
 
 
-def _batched(row_iter, batch_rows: int = 64):
-    """Collect small per-group result dicts into DataFrame batches."""
-    buf: list[dict] = []
-    for rows in row_iter:
-        buf.extend(rows if isinstance(rows, list) else [rows])
-        if len(buf) >= batch_rows:
-            yield pd.DataFrame(buf)
-            buf = []
-    if buf:
-        yield pd.DataFrame(buf)
-
-
-# ---------------------------------------------------------------------------
-# stage 1: token rows → partial posting runs per (term, salt)
-# ---------------------------------------------------------------------------
-
-
-def _encode_partials_stream(batches):
-    """mapInPandas over a (term, salt)-partitioned, (term, salt, doc_id,
-    pos)-sorted stream: per group, collapse to (doc_id, tf, dl, positions)
-    and varint-encode one partial run. All numpy — no per-row Python
-    (input_hint mandate). Group size ≈ df(term)/n_salts hits — the salted
-    bound on task memory."""
-
-    def _one(g: pd.DataFrame) -> dict:
-        doc = g["doc_id"].to_numpy(np.int64)
-        pos = g["pos"].to_numpy(np.int64)
-        dl = g["dl"].to_numpy(np.int64)
-        # stream is pre-sorted by (doc_id, pos) within the group
-        uniq_doc, starts, tfs = np.unique(doc, return_index=True, return_counts=True)
-        pos_blob = encode_positions_flat(pos, tfs)
-        row = _posting_row(g["term"].iloc[0], uniq_doc, tfs, dl[starts], pos_blob)
-        row["salt"] = int(g["salt"].iloc[0])
-        return row
-
-    yield from _batched(_stream_groups(batches, ["term", "salt"], _one))
-
-
-# ---------------------------------------------------------------------------
-# stage 2: merge partial runs per term → sharded final rows
-# ---------------------------------------------------------------------------
-
-
 def _make_merge_stream(shard_size: int, n_buckets: int):
-    """mapInPandas over a term-partitioned, (term, salt)-sorted stream of
-    partial runs: k-way merge each term's ≤ n_salts compressed runs and
-    emit sharded final rows."""
+    """mapInPandas over a (term, grp)-partitioned and -sorted stream of
+    partial runs: k-way merge the group's runs (disjoint doc sets from
+    different source batches) and emit sharded final rows. Task input is
+    bounded by the grp doc-range — no whole-term task ever exists."""
 
     def _merge(pdf: pd.DataFrame):
         term = pdf["term"].iloc[0]
@@ -207,14 +247,11 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         doc = np.concatenate([r[0] for r in runs])
         tfs = np.concatenate([r[1] for r in runs])
         dls = np.concatenate([r[2] for r in runs])
-        # merge sorted runs: doc_ids are globally unique across salts
-        # (salt = hash(doc_id)), so a stable argsort is a k-way merge.
+        # runs hold disjoint doc sets → stable argsort = k-way merge
         order = np.argsort(doc, kind="stable")
-        # permute the flat position segments into the merged order
-        # (vectorized segment gather — no per-posting Python loop):
+        # permute the flat position segments into merged order (vectorized)
         flat = np.concatenate([r[3] for r in runs])
         run_offsets = np.cumsum([0] + [r[3].size for r in runs])[:-1]
-        # start of each posting's segment within the concatenated flat
         within = np.concatenate(
             [np.cumsum(r[1]) - r[1] for r in runs]
         ) + np.repeat(run_offsets, [r[0].size for r in runs])
@@ -228,7 +265,7 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         flat_sorted = flat[out_idx]
 
         bucket = term_bucket(term, n_buckets)
-        df_total = int(doc.size)
+        grp = int(pdf["grp"].iloc[0])
         rows = []
         pos_bounds = np.concatenate(([0], np.cumsum(lens)))
         for shard, lo in enumerate(range(0, doc.size, shard_size)):
@@ -237,12 +274,12 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
                 flat_sorted[pos_bounds[lo] : pos_bounds[hi]], lens[lo:hi]
             )
             row = _posting_row(term, doc[lo:hi], tfs[lo:hi], dls[lo:hi], pb)
-            row.update({"bucket": bucket, "shard": shard, "df": df_total})
+            row.update({"bucket": bucket, "grp": grp, "shard": shard})
             rows.append(row)
         return rows
 
     def _stream(batches):
-        yield from _batched(_stream_groups(batches, ["term"], _merge))
+        yield from _batched(_stream_groups(batches, ["term", "grp"], _merge))
 
     return _stream
 
@@ -283,26 +320,27 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
-    n_salts: int = 8,
+    range_shift: int = 22,
     shard_size: int = 1 << 18,
     n_partitions: int | None = None,
     resume: bool = False,
-    with_positions: bool = True,
 ) -> dict:
     """Build the full index layout under `out_dir`:
 
         docs/       doc_id, dl                      (BM25 |d|; extract joins)
-        stats.json  n_docs, avgdl, total_tokens     (FEMTO header C[] analogue)
-        partials/   stage-1 salted runs             (checkpoint for resume)
-        index/      bucket=*/...final posting rows  (FEMTO data blocks)
+        stats.json  n_docs, avgdl, range_shift, ... (FEMTO header C[] analogue)
+        partials/   stage-1 map-side runs           (checkpoint for resume)
+        index/      bucket=*/ final posting rows    (FEMTO data blocks)
         termstats/  term, df, cf                    (header block_occs analogue)
         manifest/   per-partition lineage metrics   (FEMTO REPORT lines)
 
-    Returns a dict of stage timings/metrics.
+    range_shift: log2 of the doc-range group width — the merge-task bound.
+    2^22 (~4M docs/group) keeps every merge task's postings ≤ 4M per term
+    regardless of df; lower it for hotter corpora, raise it for fewer
+    output rows. Returns a dict of stage timings/metrics.
     """
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {"stages": {}}
-    manifest_rows: list[dict] = []
 
     def _stage(name):
         return not (resume and _committed(out_dir, name))
@@ -311,22 +349,20 @@ def build_index(
     toks = corpus.select(
         F.col(id_col).alias("doc_id"), F.expr(tokens_expr).alias("tokens")
     )
+    n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # ---- stage: docs + stats (header analogue) ---------------------------
     docs_path = os.path.join(out_dir, "docs")
     if _stage("docs"):
         t0 = time.time()
         _fresh(docs_path)
-        doc_lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+        doc_lens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
         doc_lens.write.mode("overwrite").parquet(docs_path)
-        stats_row = (
-            spark.read.parquet(docs_path)
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("dl").alias("total_tokens"),
-            )
-            .collect()[0]
-        )
+        stats_row = doc_lens.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+        doc_lens.unpersist()
         n_docs = int(stats_row["n_docs"])
         total_tokens = int(stats_row["total_tokens"] or 0)
         stats = {
@@ -335,7 +371,7 @@ def build_index(
             # float64 division once, here — every scorer reads this value
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_buckets": n_buckets,
-            "n_salts": n_salts,
+            "range_shift": range_shift,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
@@ -343,26 +379,16 @@ def build_index(
         _commit(out_dir, "docs", {"secs": dt, **stats})
         report["stages"]["docs"] = dt
 
-    n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    # ---- stage: partials (salted stage-1 encode) --------------------------
+    # ---- stage: partials (map-side stage-1 encode) ------------------------
     partials_path = os.path.join(out_dir, "partials")
     if _stage("partials"):
         t0 = time.time()
         _fresh(partials_path)
-        hits = toks.select(
-            "doc_id",
-            F.size("tokens").alias("dl"),
-            F.posexplode("tokens").alias("pos", "term"),
-        ).withColumn(
-            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
-        )
-        # FEMTO's distribute-then-sort-bins, Spark form: one shuffle keyed
-        # (term, salt), partition-local sort, partition-level stream encode
-        partials = (
-            hits.repartition(n_part, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id", "pos")
-            .mapInPandas(_encode_partials_stream, PARTIAL_SCHEMA)
+        src = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+        if src.rdd.getNumPartitions() < n_part:
+            src = src.repartition(n_part)
+        partials = src.mapInPandas(
+            _make_encode_mapside(range_shift), PARTIAL_SCHEMA
         )
         partials.write.mode("overwrite").parquet(partials_path)
         dt = time.time() - t0
@@ -376,9 +402,14 @@ def build_index(
         _fresh(index_path)
         partials = spark.read.parquet(partials_path)
         merged = (
-            partials.repartition(n_part, "term")
-            .sortWithinPartitions("term", "salt")
-            .mapInPandas(_make_merge_stream(shard_size, n_buckets), INDEX_SCHEMA)
+            partials.repartition(n_part, "term", "grp")
+            .sortWithinPartitions("term", "grp")
+            .mapInPandas(_make_merge_stream(shard_size, n_buckets), MERGED_SCHEMA)
+        )
+        # per-row term df via window (FEMTO's gather-occs-into-header step);
+        # rows per term are few (groups × shards), the window is tiny
+        merged = merged.withColumn(
+            "df", F.sum("n").over(Window.partitionBy("term"))
         )
         # one output file per bucket: query-side scans then launch at most
         # |buckets-hit| tasks instead of |written-tasks × buckets|
@@ -428,5 +459,5 @@ def build_index(
 
     report["out_dir"] = out_dir
     report["n_buckets"] = n_buckets
-    report["n_salts"] = n_salts
+    report["range_shift"] = range_shift
     return report

@@ -33,7 +33,7 @@ def index_dir(spark, tmp_path_factory):
 
     out = str(tmp_path_factory.mktemp("ix") / "sf0001")
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    build_index(spark, corpus, out, n_buckets=8, n_salts=4)
+    build_index(spark, corpus, out, n_buckets=8)
     return out
 
 

@@ -55,7 +55,7 @@ def test_index_over_generated_pages_end_to_end(spark, tmp_path):
     )
     corpus = spark.createDataFrame(pdf)
     out = str(tmp_path / "pages_ix")
-    build_index(spark, corpus, out, n_buckets=8, n_salts=4)
+    build_index(spark, corpus, out, n_buckets=8)
     eng = SearchEngine(spark, out, corpus=corpus)
     oracle = OracleIndex({r["doc_id"]: r["text"] for r in rows})
 

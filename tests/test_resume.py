@@ -28,12 +28,12 @@ def test_kill_and_rerun_equals_oneshot(spark, tmp_path):
 
     # one-shot reference build
     a = str(tmp_path / "oneshot")
-    build_index(spark, corpus, a, n_buckets=8, n_salts=4)
+    build_index(spark, corpus, a, n_buckets=8)
 
     # interrupted build: simulate a crash after the partials stage by
     # deleting the later stages' outputs and commit markers
     b = str(tmp_path / "resumed")
-    build_index(spark, corpus, b, n_buckets=8, n_salts=4)
+    build_index(spark, corpus, b, n_buckets=8)
     import shutil
 
     shutil.rmtree(os.path.join(b, "index"))
@@ -41,7 +41,7 @@ def test_kill_and_rerun_equals_oneshot(spark, tmp_path):
     os.remove(os.path.join(b, "_COMMITTED_index.json"))
     os.remove(os.path.join(b, "_COMMITTED_termstats.json"))
 
-    report = build_index(spark, corpus, b, n_buckets=8, n_salts=4, resume=True)
+    report = build_index(spark, corpus, b, n_buckets=8, resume=True)
     # docs + partials stages must have been skipped
     assert "docs" not in report["stages"]
     assert "partials" not in report["stages"]
@@ -55,7 +55,7 @@ def test_full_resume_noop(spark, tmp_path, index_dir):
 
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     report = build_index(
-        spark, corpus, index_dir, n_buckets=8, n_salts=4, resume=True
+        spark, corpus, index_dir, n_buckets=8, resume=True
     )
     assert report["stages"] == {}  # everything committed → nothing re-ran
 
@@ -73,14 +73,42 @@ def test_manifest_lineage_metrics(spark, index_dir):
     assert total == ix.agg(F.sum("n")).collect()[0][0]
 
 
-def test_salted_equals_unsalted(spark, tmp_path):
-    """The salted two-phase merge must be a pure optimization: same index
-    content as a build with a single salt (SURVEY §7.2 M3 criterion)."""
+def test_partitioning_invariance(spark, tmp_path):
+    """The map-side run encoding + range-group merge must be a pure
+    optimization: identical index content regardless of input partitioning
+    or parallelism (SURVEY §7.2 M3 criterion — the successor of the
+    salted==unsalted check; this is what makes N vs 4N runs comparable)."""
     from femto_spark.index import build_index
 
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    a = str(tmp_path / "salted")
-    b = str(tmp_path / "unsalted")
-    build_index(spark, corpus, a, n_buckets=8, n_salts=8)
-    build_index(spark, corpus, b, n_buckets=8, n_salts=1)
+    a = str(tmp_path / "p2")
+    b = str(tmp_path / "p16")
+    build_index(spark, corpus.repartition(2), a, n_buckets=8, n_partitions=2)
+    build_index(spark, corpus.repartition(16), b, n_buckets=8, n_partitions=16)
     assert _index_signature(spark, a) == _index_signature(spark, b)
+
+
+def test_range_groups_split_terms(spark, tmp_path):
+    """With a small range_shift every term's postings split into doc-range
+    groups (the hot-term merge bound) and stay globally doc-sorted."""
+    import numpy as np
+
+    from femto_spark.codec import decode_postings
+    from femto_spark.index import build_index
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "rs6")
+    build_index(spark, corpus, out, n_buckets=8, range_shift=6)  # 64-doc groups
+    ix = spark.read.parquet(os.path.join(out, "index"))
+    rows = ix.filter(F.col("term") == "the").orderBy("grp", "shard").collect()
+    assert len(rows) > 1  # hot term split across range groups
+    all_docs = []
+    for r in rows:
+        d, _, _ = decode_postings(bytes(r["postings"]), r["n"], r["tf_off"], r["dl_off"])
+        assert np.all((d >> 6) == r["grp"])  # docs within the group's range
+        all_docs.append(d)
+    cat = np.concatenate(all_docs)
+    assert np.all(np.diff(cat) > 0)  # globally sorted across groups
+    # df column = whole-term df on every row
+    total = sum(r["n"] for r in rows)
+    assert all(r["df"] == total for r in rows)
