@@ -129,15 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable] = {}
 
     # ---- index plane (whole-index differentials) ----
-    q["index_termstats"] = lambda s, d: _engine(s, d)._termstats.select(
-        "term", "df", "cf"
-    )
+    q["index_termstats"] = lambda s, d: _engine(s, d).termstats_df()
     q["index_doc_lens"] = lambda s, d: _engine(s, d)._docs.select("doc_id", "dl")
 
     # ---- FTS query plane ----
-    q["fts_count_terms"] = lambda s, d: _engine(s, d)._termstats.filter(
-        F.col("term").isin(_PROBE_TERMS)
-    ).select("term", F.col("df").alias("n_docs"), F.col("cf").alias("n_occurrences"))
+    q["fts_count_terms"] = lambda s, d: _engine(s, d).count(" ".join(_PROBE_TERMS))
     q["fts_bm25_top10"] = lambda s, d: _engine(s, d).search(_Q_OR, k=10)
     q["fts_bm25_and_top10"] = lambda s, d: _engine(s, d).search(_Q_AND, k=10, mode="and")
     q["fts_bool_and"] = lambda s, d: _engine(s, d).boolean_docs("and", "data", "table")

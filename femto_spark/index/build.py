@@ -4,48 +4,50 @@ parallel external-memory index builder (`femto_index`).
 FEMTO's build plan (SURVEY.md §2.2, `/root/reference/src/dcx_cc/dcx.hh`) is
 {read → sample splitters → form tuples → distribute → sort bins → merge →
 encode blocks → write + header}. Ours is the same shape with the heavy
-lifting MAP-SIDE:
+lifting MAP-SIDE and *no strings in the hot path*:
 
-  corpus ──tokenize (JVM exprs)──▶ (doc_id, dl, tokens array)
-      │  NO raw-token shuffle: each corpus partition is streamed through
-      ▼  one Arrow pass
-  stage 1  mapInPandas: factorize the batch's tokens, sort hits by
-           (term, doc, pos) in numpy, emit one compressed partial RUN per
-           (term, doc-range group) per batch              [PARTIALS ✓ ckpt]
-      │  the only shuffle moves compressed runs, keyed (term, grp)
+  corpus ──JVM: tokenize + hash──▶ (doc_id, dl, term_hash array<long>)
+      │  NO raw-token shuffle; Python sees only int64 arrays
       ▼
-  stage 2  mapInPandas stream: k-way merge each (term, grp)'s runs →
-           ≤ shard_size rows with block-max metadata       [INDEX]
+  stage 1  mapInPandas per corpus partition: numpy-sort the batch's
+           (hash, doc, pos) hits, emit one compressed partial RUN per
+           (term_hash, doc-range grp) per batch            [PARTIALS ✓ ckpt]
+      │  the only posting shuffle moves compressed runs, keyed by BUCKET
+      ▼  (bucket = pmod(term_hash, n_buckets)), sorted (term_hash, grp)
+  stage 2  mapInPandas stream: k-way merge each (term_hash, grp)'s runs →
+           ≤ shard_size rows with block-max metadata; written directly
+           partitionBy(bucket) — the merge shuffle IS the final layout,
+           blobs move exactly once                          [INDEX]
       ▼
-  df-per-row via window sum over term; bucket-partitioned parquet write
-  + docs/ + stats.json + termstats/ + manifest/            [HEADER]
+  side tables: vocab/ (term_hash → term, collision-asserted), docs/,
+  stats.json, termstats/, manifest/                         [HEADER]
+
+Term strings never cross the JVM↔Python boundary during the build (an
+earlier revision shipped 40M token strings through Arrow; converting them
+to Python objects dominated the build and did not scale past 8 cores).
+Queries hash their terms driver-side with the Spark-parity XXH64
+(femto_spark.xxhash), so the index is keyed by term_hash end-to-end; the
+vocab table exists for prefix operations (extend) and reporting. 64-bit
+collisions are asserted absent at build time (for 10^9+ vocabularies,
+widen to 128-bit by pairing xxhash64 with a second seed).
 
 Skew (the north rule's named concern): the merge task for a hot term is
 bounded TWO ways — `grp = doc_id >> range_shift` splits every term's
-postings into disjoint doc-range groups (a hot term with df=10^11 becomes
-~10^11/2^range_shift independent merge tasks), and `shard_size` caps any
-single output row. doc-ranges are the salting dimension here exactly like
-FEMTO's sampled splitters partition the suffix space (`dcx.hh:3723`);
-unlike hash salts, range groups keep global doc order, so shards stay
-sorted and incremental appends (new doc_ids above the old max) land in
-fresh groups without touching old ones.
-
-Earlier design note: a first implementation shuffled raw (term, doc, pos)
-hits to salted reducers; profiling showed the 40M-row shuffle + JVM string
-sort + Arrow transfer cost ~30 s and did not scale past 8 cores, while the
-numpy encode was cheap. Map-side runs remove that entire data movement —
-the classic partial-aggregation trade.
+postings into disjoint doc-range groups (a term with df=10^11 becomes
+~df/2^range_shift independent merge groups), and `shard_size` caps any
+single output row. Range groups keep global doc order, so shards stay
+sorted and incremental appends land in fresh groups. Bucket partitions
+hold ~|vocab|/n_buckets terms each — balanced by hash.
 
 Checkpoint/resume (north rule): every stage commits atomically — data
 files first, then a `_COMMITTED_<stage>.json` marker; a manifest table
-records per-partition lineage metrics (rows, postings, bytes — FEMTO's
-`REPORT DISK_BYTES_*` lines, `dcx.hh:6148-6157`). `build_index(...,
-resume=True)` skips committed stages — kill/rerun equals one-shot
-(tests/test_resume.py).
+records per-partition lineage metrics (FEMTO's `REPORT DISK_BYTES_*`
+lines, `dcx.hh:6148-6157`). `build_index(..., resume=True)` skips
+committed stages — kill/rerun equals one-shot (tests/test_resume.py).
 
-Storage is Parquet partitioned by `bucket` (hash(term) % n_buckets) —
-standing in for an Iceberg `bucket(term)` partition transform; swap the
-writes for `writeTo(...)` when a catalog is configured.
+Storage is Parquet partitioned by `bucket` — standing in for an Iceberg
+`bucket(term)` partition transform; swap the writes for `writeTo(...)`
+when a catalog is configured.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -68,14 +70,13 @@ from ..codec import (
     encode_postings,
 )
 from ..tokenizer import spark_tokens_expr
-from ..xxhash import term_bucket
 
 # ---------------------------------------------------------------------------
 # schemas
 # ---------------------------------------------------------------------------
 
 _POSTING_FIELDS = [
-    T.StructField("term", T.StringType(), False),
+    T.StructField("term_hash", T.LongType(), False),
     T.StructField("n", T.LongType(), False),
     T.StructField("cf", T.LongType(), False),
     T.StructField("tf_off", T.IntegerType(), False),
@@ -104,10 +105,10 @@ MERGED_SCHEMA = T.StructType(
 )
 
 
-def _posting_row(term, doc_ids, tfs, dls, pos_blob):
+def _posting_row(term_hash: int, doc_ids, tfs, dls, pos_blob):
     blob, meta = encode_postings(doc_ids, tfs, dls)
     return {
-        "term": term,
+        "term_hash": int(term_hash),
         "n": meta["n"],
         "cf": int(tfs.sum()),
         "tf_off": meta["tf_off"],
@@ -136,45 +137,42 @@ def _batched(row_iter, batch_rows: int = 64):
 
 
 # ---------------------------------------------------------------------------
-# stage 1: map-side partial runs — (term, grp) per Arrow batch
+# stage 1: map-side partial runs — (term_hash, grp) per Arrow batch
 # ---------------------------------------------------------------------------
 
 
 def _make_encode_mapside(range_shift: int):
     def _encode(batches):
         """mapInPandas over corpus partitions carrying (doc_id, dl,
-        tokens). Per Arrow batch: flatten token arrays, pd.factorize the
-        terms (C-speed), numpy-sort hits by (term, doc, pos), cut
-        (term, grp) segments, varint-encode each as one partial run.
-        No per-row Python (input_hint mandate); no shuffle has happened —
-        this is the map-side combine."""
+        thash array<long>). Per Arrow batch: flatten, lexsort hits by
+        (hash, doc, pos), cut (hash, grp) segments, varint-encode each as
+        one partial run. Pure int64 numpy — no Python objects, no per-row
+        Python (input_hint mandate); no shuffle has happened — this is the
+        map-side combine."""
 
         def _rows():
             for pdf in batches:
-                toks = pdf["tokens"]
                 lens = pdf["dl"].to_numpy(np.int64)
                 total = int(lens.sum())
                 if total == 0:
                     continue
-                flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks])
-                codes, uniq_terms = pd.factorize(flat_terms, sort=False)
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["thash"]]
+                )
                 doc_rep = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
                 dl_rep = np.repeat(lens, lens)
                 starts = np.cumsum(lens) - lens
                 pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-                # grp is monotone in doc_id → sorting by (term, doc) sorts grp
-                order = np.lexsort((pos, doc_rep, codes))
-                codes_s = codes[order]
+                # grp is monotone in doc_id → sorting (hash, doc) sorts grp
+                order = np.lexsort((pos, doc_rep, flat))
+                h_s = flat[order]
                 doc_s = doc_rep[order]
                 grp_s = doc_s >> range_shift
                 dl_s = dl_rep[order]
                 pos_s = pos[order]
-                # segment boundaries where (term, grp) changes
                 change = np.empty(total, dtype=bool)
                 change[0] = True
-                change[1:] = (codes_s[1:] != codes_s[:-1]) | (
-                    grp_s[1:] != grp_s[:-1]
-                )
+                change[1:] = (h_s[1:] != h_s[:-1]) | (grp_s[1:] != grp_s[:-1])
                 seg_starts = np.flatnonzero(change)
                 seg_ends = np.append(seg_starts[1:], total)
                 for lo, hi in zip(seg_starts, seg_ends):
@@ -184,11 +182,7 @@ def _make_encode_mapside(range_shift: int):
                     )
                     pos_blob = encode_positions_flat(pos_s[lo:hi], tfs)
                     row = _posting_row(
-                        str(uniq_terms[codes_s[lo]]),
-                        uniq_doc,
-                        tfs,
-                        dl_s[lo:hi][u_starts],
-                        pos_blob,
+                        int(h_s[lo]), uniq_doc, tfs, dl_s[lo:hi][u_starts], pos_blob
                     )
                     row["grp"] = int(grp_s[lo])
                     yield row
@@ -199,7 +193,7 @@ def _make_encode_mapside(range_shift: int):
 
 
 # ---------------------------------------------------------------------------
-# stage 2: merge partial runs per (term, grp) → sharded final rows
+# stage 2: merge partial runs per (term_hash, grp) → sharded final rows
 # ---------------------------------------------------------------------------
 
 
@@ -232,13 +226,15 @@ def _stream_groups(batches, key_cols: list[str], process):
 
 
 def _make_merge_stream(shard_size: int, n_buckets: int):
-    """mapInPandas over a (term, grp)-partitioned and -sorted stream of
-    partial runs: k-way merge the group's runs (disjoint doc sets from
-    different source batches) and emit sharded final rows. Task input is
-    bounded by the grp doc-range — no whole-term task ever exists."""
+    """mapInPandas over a bucket-partitioned, (term_hash, grp)-sorted
+    stream of partial runs: k-way merge each (term_hash, grp) group's runs
+    (disjoint doc sets from different source batches) and emit sharded
+    final rows. Task input is bounded by the grp doc-range — no whole-term
+    task ever exists. Output is already bucket-aligned, so the writer
+    needs no further shuffle."""
 
     def _merge(pdf: pd.DataFrame):
-        term = pdf["term"].iloc[0]
+        th = int(pdf["term_hash"].iloc[0])
         runs = []
         for r in pdf.itertuples(index=False):
             d, t, l = decode_postings(bytes(r.postings), r.n, r.tf_off, r.dl_off)
@@ -264,7 +260,7 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         )
         flat_sorted = flat[out_idx]
 
-        bucket = term_bucket(term, n_buckets)
+        bucket = th % n_buckets  # == Spark pmod for positive n_buckets
         grp = int(pdf["grp"].iloc[0])
         rows = []
         pos_bounds = np.concatenate(([0], np.cumsum(lens)))
@@ -273,13 +269,13 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
             pb = encode_positions_flat(
                 flat_sorted[pos_bounds[lo] : pos_bounds[hi]], lens[lo:hi]
             )
-            row = _posting_row(term, doc[lo:hi], tfs[lo:hi], dls[lo:hi], pb)
+            row = _posting_row(th, doc[lo:hi], tfs[lo:hi], dls[lo:hi], pb)
             row.update({"bucket": bucket, "grp": grp, "shard": shard})
             rows.append(row)
         return rows
 
     def _stream(batches):
-        yield from _batched(_stream_groups(batches, ["term", "grp"], _merge))
+        yield from _batched(_stream_groups(batches, ["term_hash", "grp"], _merge))
 
     return _stream
 
@@ -307,6 +303,27 @@ def _fresh(path: str) -> None:
         shutil.rmtree(path)
 
 
+def build_vocab(spark: SparkSession, toks: DataFrame, vocab_path: str) -> int:
+    """Distinct (term_hash, term) side table; asserts no 64-bit collision.
+    JVM-only: explode → partial-agg distinct → write. Returns vocab size."""
+    _fresh(vocab_path)
+    vocab = (
+        toks.select(F.explode("tokens").alias("term"))
+        .distinct()
+        .withColumn("term_hash", F.xxhash64("term"))
+    )
+    vocab.write.mode("overwrite").parquet(vocab_path)
+    v = spark.read.parquet(vocab_path)
+    n_terms = v.count()
+    n_hashes = v.select("term_hash").distinct().count()
+    if n_terms != n_hashes:
+        raise RuntimeError(
+            f"xxhash64 term collision detected ({n_terms} terms, {n_hashes} "
+            "hashes) — widen to 128-bit hashing"
+        )
+    return n_terms
+
+
 # ---------------------------------------------------------------------------
 # the build
 # ---------------------------------------------------------------------------
@@ -329,15 +346,14 @@ def build_index(
 
         docs/       doc_id, dl                      (BM25 |d|; extract joins)
         stats.json  n_docs, avgdl, range_shift, ... (FEMTO header C[] analogue)
+        vocab/      term_hash, term                 (for extend/reporting)
         partials/   stage-1 map-side runs           (checkpoint for resume)
         index/      bucket=*/ final posting rows    (FEMTO data blocks)
-        termstats/  term, df, cf                    (header block_occs analogue)
+        termstats/  term_hash, df, cf               (header block_occs analogue)
         manifest/   per-partition lineage metrics   (FEMTO REPORT lines)
 
     range_shift: log2 of the doc-range group width — the merge-task bound.
-    2^22 (~4M docs/group) keeps every merge task's postings ≤ 4M per term
-    regardless of df; lower it for hotter corpora, raise it for fewer
-    output rows. Returns a dict of stage timings/metrics.
+    Returns a dict of stage timings/metrics.
     """
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {"stages": {}}
@@ -379,43 +395,49 @@ def build_index(
         _commit(out_dir, "docs", {"secs": dt, **stats})
         report["stages"]["docs"] = dt
 
+    # ---- stage: vocab side table ------------------------------------------
+    if _stage("vocab"):
+        t0 = time.time()
+        n_terms = build_vocab(spark, toks, os.path.join(out_dir, "vocab"))
+        dt = time.time() - t0
+        _commit(out_dir, "vocab", {"secs": dt, "n_terms": n_terms})
+        report["stages"]["vocab"] = dt
+
     # ---- stage: partials (map-side stage-1 encode) ------------------------
     partials_path = os.path.join(out_dir, "partials")
     if _stage("partials"):
         t0 = time.time()
         _fresh(partials_path)
-        src = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+        src = toks.select(
+            "doc_id",
+            F.size("tokens").alias("dl"),
+            F.expr("transform(tokens, t -> xxhash64(t))").alias("thash"),
+        )
         if src.rdd.getNumPartitions() < n_part:
             src = src.repartition(n_part)
-        partials = src.mapInPandas(
-            _make_encode_mapside(range_shift), PARTIAL_SCHEMA
-        )
+        partials = src.mapInPandas(_make_encode_mapside(range_shift), PARTIAL_SCHEMA)
         partials.write.mode("overwrite").parquet(partials_path)
         dt = time.time() - t0
         _commit(out_dir, "partials", {"secs": dt})
         report["stages"]["partials"] = dt
 
-    # ---- stage: final index (merge + shard) -------------------------------
+    # ---- stage: final index (merge + shard, bucket-aligned) ---------------
     index_path = os.path.join(out_dir, "index")
     if _stage("index"):
         t0 = time.time()
         _fresh(index_path)
-        partials = spark.read.parquet(partials_path)
+        partials = spark.read.parquet(partials_path).withColumn(
+            "bucket", F.pmod(F.col("term_hash"), F.lit(n_buckets)).cast("int")
+        )
         merged = (
-            partials.repartition(n_part, "term", "grp")
-            .sortWithinPartitions("term", "grp")
+            partials.repartition(n_buckets, "bucket")
+            .sortWithinPartitions("term_hash", "grp")
+            .drop("bucket")
             .mapInPandas(_make_merge_stream(shard_size, n_buckets), MERGED_SCHEMA)
         )
-        # per-row term df via window (FEMTO's gather-occs-into-header step);
-        # rows per term are few (groups × shards), the window is tiny
-        merged = merged.withColumn(
-            "df", F.sum("n").over(Window.partitionBy("term"))
-        )
-        # one output file per bucket: query-side scans then launch at most
-        # |buckets-hit| tasks instead of |written-tasks × buckets|
-        merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(index_path)
+        # output partitions are bucket-aligned → direct partitioned write,
+        # exactly one blob shuffle in the whole build
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
         dt = time.time() - t0
         _commit(out_dir, "index", {"secs": dt})
         report["stages"]["index"] = dt
@@ -427,7 +449,7 @@ def build_index(
         ts_path = os.path.join(out_dir, "termstats")
         _fresh(ts_path)
         (
-            ix.groupBy("term")
+            ix.groupBy("term_hash")
             .agg(
                 F.sum("n").alias("df"),
                 F.sum("cf").alias("cf"),
@@ -443,7 +465,7 @@ def build_index(
             ix.groupBy("bucket")
             .agg(
                 F.count("*").alias("n_rows"),
-                F.countDistinct("term").alias("n_terms"),
+                F.countDistinct("term_hash").alias("n_terms"),
                 F.sum("n").alias("n_postings"),
                 F.sum(F.length("postings")).alias("posting_bytes"),
                 F.sum(F.length("positions")).alias("position_bytes"),

@@ -79,7 +79,11 @@ def merge_into(
 
     # 1. append new partial runs (identical map-side stage-1 plan as
     # build_index; new doc_ids land in fresh or trailing range groups)
-    src = toks.select("doc_id", F.size("tokens").alias("dl"), "tokens")
+    src = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        F.expr("transform(tokens, t -> xxhash64(t))").alias("thash"),
+    )
     if src.rdd.getNumPartitions() < n_part:
         src = src.repartition(n_part)
     (
@@ -87,6 +91,25 @@ def merge_into(
         .write.mode("append")
         .parquet(os.path.join(index_dir, "partials"))
     )
+
+    # 1b. refresh the vocab side table with the new docs' terms
+    vocab_path = os.path.join(index_dir, "vocab")
+    old_terms = spark.read.parquet(vocab_path).select("term")
+    merged_terms = (
+        old_terms.union(toks.select(F.explode("tokens").alias("term"))).distinct()
+    )
+    tmp_vocab = vocab_path + "_tmp"
+    merged_terms.withColumn("term_hash", F.xxhash64("term")).write.mode(
+        "overwrite"
+    ).parquet(tmp_vocab)
+    v = spark.read.parquet(tmp_vocab)
+    if v.count() != v.select("term_hash").distinct().count():
+        raise RuntimeError("xxhash64 term collision after append")
+    import shutil as _sh
+
+    _sh.rmtree(vocab_path)
+    os.rename(tmp_vocab, vocab_path)
+    _commit(index_dir, "vocab", {"appended": True})
 
     # 2. append doc lens, recompute global stats
     toks.select("doc_id", F.size("tokens").alias("dl")).write.mode("append").parquet(

@@ -4,12 +4,12 @@ FEMTO executes each query as an async DAG of leaf block-requests sorted by
 storage key so one block decompression serves many queries
 (`/root/reference/src/main/server.c:3093-3351`, SURVEY.md §4.2). Spark
 gives us the same effect declaratively: a query (or a whole batch of
-queries — `search_many`) becomes one DataFrame plan; the shuffle groups
-work by term bucket, partition pruning reads only the buckets the query
-terms live in, and executors decode each posting row once per job.
+queries — `search_many`) becomes one DataFrame plan; partition pruning
+reads only the buckets the query terms hash into, and executors decode
+each posting row once per job.
 
 Operator parity map (reference → here):
-  STRING count            (`server.c:713`)  → count() / count_occurrences
+  STRING count            (`server.c:713`)  → count() / term stats lookup
   LOCATE / STRING_RESULTS (`server.c:4373`) → locate() (doc_id + positions)
   BOOLEAN AND/OR/NOT      (`server.c:5446-5761`, results.c:435/497/669)
                                             → boolean_docs()
@@ -18,14 +18,20 @@ Operator parity map (reference → here):
   GET_URL / doc info      (`server.c:1246`) → doc_info()
   string_rows / femto_common BFS            → extend()
   femto_scan (unindexed RE2 scan)           → scan_count() [oracle path]
-  PARALLEL_QUERY / femto_multiquery         → search_many(), count_many()
+  PARALLEL_QUERY / femto_multiquery         → search_many(), *_wand()
   (no FEMTO analogue — north-rule addition) → search(): BM25 top-k
+
+Driver-side term resolution: query terms are hashed with the Spark-parity
+XXH64 (femto_spark.xxhash), buckets computed locally (zero probe jobs),
+and per-term document frequencies fetched once from the term-stats table
+(a tiny bucket-pruned read, memoized per engine) — the analogue of
+FEMTO's header C[]-array lookup before touching data blocks.
 
 Scoring determinism: per-term scores are computed in numpy float64 inside
 the decode UDF (same libm as the oracle); per-document summation happens
-JVM-side as a fold over the term-sorted array — fixed order, bit-equal to
-the oracle's ascending-term Python sum. Rounding = floor(s*1e6+0.5)/1e6,
-IEEE-exact identical everywhere.
+JVM-side as a fold over the term-string-sorted array — fixed order,
+bit-equal to the oracle's ascending-term Python sum. Rounding =
+floor(s*1e6+0.5)/1e6, IEEE-exact identical everywhere.
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ from pyspark.sql import functions as F
 from ..codec import decode_positions, decode_postings
 from ..scoring import B, K1
 from ..tokenizer import tokenize
+from ..xxhash import xxhash64
 
 _DECODED_SCHEMA = "term string, doc_id long, tf long, dl long, score double"
 _POS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
@@ -54,6 +61,10 @@ def _bm25_arrays(tf, dl, df, n_docs, avgdl):
     num = tf * (K1 + 1.0)
     den = tf + K1 * (1.0 - B + B * dl / avgdl)
     return idf * (num / den)
+
+
+def _thash(term: str) -> int:
+    return xxhash64(term.encode("utf-8"))
 
 
 class SearchEngine:
@@ -76,41 +87,53 @@ class SearchEngine:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
+        self.n_buckets = int(self.stats["n_buckets"])
         self._index = spark.read.parquet(os.path.join(index_dir, "index"))
         self._termstats = spark.read.parquet(os.path.join(index_dir, "termstats"))
         self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
-        self._n_buckets = None
+        self._vocab_path = os.path.join(index_dir, "vocab")
+        self._stats_cache: dict[int, tuple[int, int]] = {}  # hash → (df, cf)
 
     # ------------------------------------------------------------------ #
-    # index access                                                        #
+    # driver-side term resolution (FEMTO header-lookup analogue)          #
     # ------------------------------------------------------------------ #
+
+    def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, cf); absent terms → (0, 0). One tiny bucket-pruned
+        job for uncached hashes, memoized per engine."""
+        hashes = {t: _thash(t) for t in terms}
+        missing = [h for h in hashes.values() if h not in self._stats_cache]
+        if missing:
+            rows = (
+                self._termstats.filter(F.col("term_hash").isin(missing))
+                .select("term_hash", "df", "cf")
+                .collect()
+            )
+            got = {r["term_hash"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for h in missing:
+                self._stats_cache[h] = got.get(h, (0, 0))
+        return {t: self._stats_cache[h] for t, h in hashes.items()}
 
     def _term_rows(self, terms: list[str]) -> DataFrame:
-        """Posting rows for `terms`, with bucket-level partition pruning
-        (the analogue of FEMTO's HDR_BSEARCH block lookup: only the
-        buckets that can hold these terms are read). Buckets are computed
-        driver-side with the Spark-parity xxhash64 — zero probe jobs."""
+        """Posting rows for `terms`, bucket-pruned driver-side."""
         if not terms:
             return self._index.limit(0)
-        from ..xxhash import term_bucket
-
-        nb = self._buckets()
-        buckets = sorted({term_bucket(t, nb) for t in terms})
+        hashes = [_thash(t) for t in terms]
+        buckets = sorted({h % self.n_buckets for h in hashes})
         return self._index.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            F.col("bucket").isin(buckets) & F.col("term_hash").isin(hashes)
         )
 
-    def _buckets(self) -> int:
-        if self._n_buckets is None:
-            nb = self.stats.get("n_buckets")
-            if nb is None:  # older index layout: derive once
-                nb = (self._index.select(F.max("bucket")).collect()[0][0] or 0) + 1
-            self._n_buckets = int(nb)
-        return self._n_buckets
+    # ------------------------------------------------------------------ #
+    # decode planes                                                        #
+    # ------------------------------------------------------------------ #
 
     def postings(self, terms: list[str], scored: bool = True) -> DataFrame:
         """Decoded postings DataFrame (term, doc_id, tf, dl, score)."""
         n_docs, avgdl = self.n_docs, self.avgdl
+        stats = self._term_stats(terms)
+        names = {_thash(t): t for t in terms}
+        dfs = {_thash(t): stats[t][0] for t in terms}
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -123,7 +146,7 @@ class SearchEngine:
                         _bm25_arrays(
                             t.astype(np.float64),
                             l.astype(np.float64),
-                            int(r.df),
+                            dfs[r.term_hash],
                             n_docs,
                             avgdl,
                         )
@@ -133,7 +156,7 @@ class SearchEngine:
                     outs.append(
                         pd.DataFrame(
                             {
-                                "term": r.term,
+                                "term": names[r.term_hash],
                                 "doc_id": d,
                                 "tf": t,
                                 "dl": l,
@@ -144,7 +167,7 @@ class SearchEngine:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        cols = ["term", "df", "n", "tf_off", "dl_off", "postings"]
+        cols = ["term_hash", "n", "tf_off", "dl_off", "postings"]
         return self._term_rows(terms).select(*cols).mapInPandas(
             _decode, _DECODED_SCHEMA
         )
@@ -152,6 +175,7 @@ class SearchEngine:
     def postings_with_positions(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, tf, positions) — reads the positions column only
         here, so plain queries never touch it (column pruning)."""
+        names = {_thash(t): t for t in terms}
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -165,7 +189,7 @@ class SearchEngine:
                     outs.append(
                         pd.DataFrame(
                             {
-                                "term": r.term,
+                                "term": names[r.term_hash],
                                 "doc_id": d,
                                 "tf": t,
                                 "positions": [p.tolist() for p in splits],
@@ -175,7 +199,7 @@ class SearchEngine:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        cols = ["term", "n", "tf_off", "dl_off", "postings", "positions"]
+        cols = ["term_hash", "n", "tf_off", "dl_off", "postings", "positions"]
         return self._term_rows(terms).select(*cols).mapInPandas(
             _decode, _POS_SCHEMA
         )
@@ -185,18 +209,21 @@ class SearchEngine:
     # ------------------------------------------------------------------ #
 
     def count(self, term: str) -> DataFrame:
-        """(term, n_docs, n_occurrences) — FEMTO's count query answered
-        from the term-stats table alone (header-block lookup, no postings
-        touched)."""
-        t = tokenize(term)
-        return (
-            self._termstats.filter(F.col("term").isin(t))
-            .select(
-                "term",
-                F.col("df").alias("n_docs"),
-                F.col("cf").alias("n_occurrences"),
-            )
+        """(term, n_docs, n_occurrences) — answered from the term-stats
+        table alone (header-block lookup, no postings touched)."""
+        terms = sorted(set(tokenize(term)))
+        stats = self._term_stats(terms)
+        rows = [
+            (t, stats[t][0], stats[t][1]) for t in terms if stats[t][0] > 0
+        ]
+        return self.spark.createDataFrame(
+            rows, "term string, n_docs long, n_occurrences long"
         )
+
+    def termstats_df(self) -> DataFrame:
+        """(term, df, cf) — the whole-index stats view (vocab join)."""
+        vocab = self.spark.read.parquet(self._vocab_path)
+        return self._termstats.join(vocab, "term_hash").select("term", "df", "cf")
 
     # ------------------------------------------------------------------ #
     # BM25 top-k search (north-rule core)                                 #
@@ -231,7 +258,7 @@ class SearchEngine:
     # -- block-max WAND path (skip-decode; rank-identical to search()) ----
 
     _WAND_COLS = [
-        "term", "df", "n", "tf_off", "dl_off", "block_last_doc",
+        "term_hash", "n", "tf_off", "dl_off", "block_last_doc",
         "block_max_tf", "block_min_dl", "block_gap_off", "block_tf_off",
         "block_dl_off", "postings",
     ]
@@ -242,10 +269,7 @@ class SearchEngine:
         verification keeps results identical to search(). One compact task
         per query — the latency path; FEMTO analogue: chunk-doc-map
         skipping (server.c:4549, paper §3.3)."""
-        return (
-            self.search_many_wand({"q": query}, k)
-            .select("doc_id", "score")
-        )
+        return self.search_many_wand({"q": query}, k).select("doc_id", "score")
 
     def search_many_wand(self, queries: dict[str, str], k: int = 10) -> DataFrame:
         """Batched WAND: each query's term rows are co-grouped into one
@@ -254,17 +278,24 @@ class SearchEngine:
         task does block-skipping locally. Memory per task is bounded by
         the query's terms' blob bytes (shard rows cap each blob)."""
         pairs = []
+        all_terms: set[str] = set()
         for qid, q in queries.items():
             for t in sorted(set(tokenize(q))):
                 pairs.append((qid, t))
+                all_terms.add(t)
         if not pairs:
             return self.spark.createDataFrame(
                 [], "query_id string, doc_id long, score double, rank int"
             )
-        qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
-        terms = sorted({t for _, t in pairs})
-        rows = self._term_rows(terms).select(*self._WAND_COLS)
-        joined = rows.join(F.broadcast(qdf), "term")
+        stats = self._term_stats(sorted(all_terms))
+        qrows = [
+            (qid, t, _thash(t), stats[t][0]) for qid, t in pairs
+        ]
+        qdf = self.spark.createDataFrame(
+            qrows, "query_id string, term string, term_hash long, df long"
+        )
+        rows = self._term_rows(sorted(all_terms)).select(*self._WAND_COLS)
+        joined = rows.join(F.broadcast(qdf), "term_hash")
         n_docs, avgdl, kk = self.n_docs, self.avgdl, k
 
         def _wand(keys, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -286,10 +317,10 @@ class SearchEngine:
         )
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
-        """Whole-batch execution of many queries in ONE Spark job — the
-        analogue of FEMTO's request sorting (§4.2: batching 100k counts
-        gave ~5000× I/O reduction). Returns (query_id, doc_id, score, rank).
-        """
+        """Whole-batch exact execution of many queries in ONE Spark job —
+        the analogue of FEMTO's request sorting (§4.2: batching 100k
+        counts gave ~5000× I/O reduction). Returns
+        (query_id, doc_id, score, rank)."""
         pairs = []
         for qid, q in queries.items():
             for t in sorted(set(tokenize(q))):
@@ -426,9 +457,11 @@ class SearchEngine:
 
     def extend(self, prefix: str, limit: int = 10) -> DataFrame:
         """string_rows_right / femto_common analogue: terms extending a
-        prefix ranked by document frequency."""
+        prefix ranked by document frequency (vocab ⋈ termstats)."""
+        vocab = self.spark.read.parquet(self._vocab_path)
         return (
-            self._termstats.filter(F.col("term").startswith(prefix))
+            vocab.filter(F.col("term").startswith(prefix))
+            .join(self._termstats, "term_hash")
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(limit)

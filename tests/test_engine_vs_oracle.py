@@ -22,7 +22,7 @@ def all_terms(docs_sf001):
 
 def test_term_counts_match(engine, oracle_sf001, all_terms):
     # every single term's (df, cf) must match the oracle exactly
-    rows = engine._termstats.collect()
+    rows = engine.termstats_df().collect()
     got = {r["term"]: (r["df"], r["cf"]) for r in rows}
     for t in all_terms:
         occ, df = oracle_sf001.count(t)

@@ -11,10 +11,12 @@ from pyspark.sql import functions as F
 def _signature(spark, out):
     ix = spark.read.parquet(os.path.join(out, "index"))
     rows = ix.select(
-        "term", "shard", "df", "n",
+        "term_hash", "grp", "shard", "n",
         F.md5("postings").alias("ph"), F.md5("positions").alias("xh"),
     ).collect()
-    return sorted((r["term"], r["shard"], r["df"], r["n"], r["ph"], r["xh"]) for r in rows)
+    return sorted(
+        (r["term_hash"], r["grp"], r["shard"], r["n"], r["ph"], r["xh"]) for r in rows
+    )
 
 
 def test_merge_into_equals_oneshot(spark, tmp_path):

@@ -11,14 +11,16 @@ from pyspark.sql import functions as F
 def _index_signature(spark, out):
     ix = spark.read.parquet(os.path.join(out, "index"))
     rows = ix.select(
-        "term",
+        "term_hash",
+        "grp",
         "shard",
-        "df",
         "n",
         F.md5(F.col("postings")).alias("ph"),
         F.md5(F.col("positions")).alias("xh"),
     ).collect()
-    return sorted((r["term"], r["shard"], r["df"], r["n"], r["ph"], r["xh"]) for r in rows)
+    return sorted(
+        (r["term_hash"], r["grp"], r["shard"], r["n"], r["ph"], r["xh"]) for r in rows
+    )
 
 
 def test_kill_and_rerun_equals_oneshot(spark, tmp_path):
@@ -100,7 +102,13 @@ def test_range_groups_split_terms(spark, tmp_path):
     out = str(tmp_path / "rs6")
     build_index(spark, corpus, out, n_buckets=8, range_shift=6)  # 64-doc groups
     ix = spark.read.parquet(os.path.join(out, "index"))
-    rows = ix.filter(F.col("term") == "the").orderBy("grp", "shard").collect()
+    from femto_spark.xxhash import xxhash64 as _xx
+
+    rows = (
+        ix.filter(F.col("term_hash") == _xx("the".encode()))
+        .orderBy("grp", "shard")
+        .collect()
+    )
     assert len(rows) > 1  # hot term split across range groups
     all_docs = []
     for r in rows:
@@ -109,6 +117,7 @@ def test_range_groups_split_terms(spark, tmp_path):
         all_docs.append(d)
     cat = np.concatenate(all_docs)
     assert np.all(np.diff(cat) > 0)  # globally sorted across groups
-    # df column = whole-term df on every row
-    total = sum(r["n"] for r in rows)
-    assert all(r["df"] == total for r in rows)
+    # termstats df = sum of per-row n across all range groups
+    ts = spark.read.parquet(os.path.join(out, "termstats"))
+    df_val = ts.filter(F.col("term_hash") == _xx("the".encode())).collect()[0]["df"]
+    assert df_val == sum(r["n"] for r in rows)
