@@ -140,7 +140,7 @@ def main_default() -> None:
 # scaling-evidence mode
 # ---------------------------------------------------------------------------
 
-SCALE_DOCS = int(os.environ.get("FEMTO_SCALE_DOCS", "240000"))
+SCALE_DOCS = int(os.environ.get("FEMTO_SCALE_DOCS", "480000"))
 SCALE_CORPUS = os.path.join(SCRATCH, f"scale_corpus_{SCALE_DOCS}")
 
 

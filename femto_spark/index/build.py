@@ -314,8 +314,10 @@ def build_vocab(spark: SparkSession, toks: DataFrame, vocab_path: str) -> int:
     )
     vocab.write.mode("overwrite").parquet(vocab_path)
     v = spark.read.parquet(vocab_path)
-    n_terms = v.count()
-    n_hashes = v.select("term_hash").distinct().count()
+    row = v.agg(
+        F.count("*").alias("n"), F.countDistinct("term_hash").alias("h")
+    ).collect()[0]
+    n_terms, n_hashes = int(row["n"]), int(row["h"])
     if n_terms != n_hashes:
         raise RuntimeError(
             f"xxhash64 term collision detected ({n_terms} terms, {n_hashes} "
@@ -366,6 +368,15 @@ def build_index(
         F.col(id_col).alias("doc_id"), F.expr(tokens_expr).alias("tokens")
     )
     n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # three stages consume the tokenized corpus (docs, vocab, partials) —
+    # persist it once instead of re-scanning + re-tokenizing per stage
+    # (MEMORY_AND_DISK: spills rather than recomputes at 100 TB scale)
+    tok_stages = [s for s in ("docs", "vocab", "partials") if _stage(s)]
+    if len(tok_stages) >= 2:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stage: docs + stats (header analogue) ---------------------------
     docs_path = os.path.join(out_dir, "docs")
@@ -420,6 +431,9 @@ def build_index(
         dt = time.time() - t0
         _commit(out_dir, "partials", {"secs": dt})
         report["stages"]["partials"] = dt
+
+    if len(tok_stages) >= 2:
+        toks.unpersist()
 
     # ---- stage: final index (merge + shard, bucket-aligned) ---------------
     index_path = os.path.join(out_dir, "index")

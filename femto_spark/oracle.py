@@ -106,6 +106,67 @@ class OracleIndex:
             out.extend((doc_id, h) for h in sorted(hits))
         return out
 
+    # -- phrase: exact adjacent-sequence match ------------------------------
+    def phrase(self, query: str) -> list[tuple[int, int, int]]:
+        """Exact phrase occurrences: (doc_id, n_matches, first_pos), sorted
+        by doc_id. A match at p requires term_i at p+i for all i."""
+        terms = tokenize(query)
+        if not terms:
+            return []
+        out = []
+        first = self.postings.get(terms[0], {})
+        for doc_id in sorted(first):
+            starts = [
+                p
+                for p in first[doc_id]
+                if all(
+                    (p + i) in (self.postings.get(t, {}).get(doc_id) or [])
+                    for i, t in enumerate(terms[1:], 1)
+                )
+            ]
+            if starts:
+                out.append((doc_id, len(starts), min(starts)))
+        return out
+
+    # -- approx: edit-distance term expansion (FEMTO APPROX analogue) ------
+    def approx_terms(self, probe: str, max_edits: int = 1) -> list[tuple[str, int, int]]:
+        """Vocabulary terms within `max_edits` of probe: (term, dist, df),
+        ordered (dist asc, df desc, term asc)."""
+
+        def _lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > max_edits:
+                return max_edits + 1
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        out = []
+        for t, plist in self.postings.items():
+            d = _lev(probe, t)
+            if d <= max_edits:
+                out.append((t, d, len(plist)))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out
+
+    # -- regex over the vocabulary (word-level REGEXP analogue) ------------
+    def regex_docs(self, pattern: str) -> set[int]:
+        """Docs containing any vocabulary term that matches the pattern
+        (unanchored, like the reference's regexp query)."""
+        import re as _re
+
+        rx = _re.compile(pattern)
+        docs: set[int] = set()
+        for t, plist in self.postings.items():
+            if rx.search(t):
+                docs |= set(plist)
+        return docs
+
     # -- extend: single-term right-extension stats (string_rows analogue) --
     def extend(self, prefix: str, limit: int = 10) -> list[tuple[str, int]]:
         """Terms starting with prefix, by (df desc, term asc) — the analogue

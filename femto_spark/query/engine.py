@@ -435,6 +435,101 @@ class SearchEngine:
             "doc_id", "offset"
         )
 
+    def phrase(self, query: str) -> DataFrame:
+        """Exact phrase search — (doc_id, n_matches, first_pos). The
+        positions-payload composition FEMTO gets from its suffix structure
+        for free; here: per-doc intersection of shifted position lists,
+        vectorized with searchsorted (no per-position Python)."""
+        terms = tokenize(query)
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_matches long, first_pos long"
+            )
+        uniq = sorted(set(terms))
+        p = self.postings_with_positions(uniq)
+        # per doc: list of (term order index, positions)
+        rows = p.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("posmap")
+        )
+        seq = list(terms)
+
+        def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, counts, firsts = [], [], []
+                for r in pdf.itertuples(index=False):
+                    pm = r.posmap
+                    if any(t not in pm for t in seq):
+                        continue
+                    starts = np.asarray(pm[seq[0]], dtype=np.int64)
+                    ok = starts
+                    for i, t in enumerate(seq[1:], 1):
+                        nxt = np.asarray(pm[t], dtype=np.int64)
+                        idx = np.searchsorted(nxt, ok + i)
+                        idx_ok = idx < nxt.size
+                        keep = np.zeros(ok.size, dtype=bool)
+                        keep[idx_ok] = nxt[idx[idx_ok]] == ok[idx_ok] + i
+                        ok = ok[keep]
+                        if ok.size == 0:
+                            break
+                    if ok.size:
+                        docs.append(r.doc_id)
+                        counts.append(int(ok.size))
+                        firsts.append(int(ok.min()))
+                yield pd.DataFrame(
+                    {"doc_id": docs, "n_matches": counts, "first_pos": firsts}
+                )
+
+        return rows.mapInPandas(
+            _match, "doc_id long, n_matches long, first_pos long"
+        ).orderBy("doc_id")
+
+    def approx_terms(self, probe: str, max_edits: int = 1) -> DataFrame:
+        """FEMTO APPROX analogue (QUERY_FORMAT.txt:129-161): vocabulary
+        terms within edit distance, via the JVM levenshtein over the vocab
+        table — (term, dist, df), ordered (dist, df desc, term)."""
+        vocab = self.spark.read.parquet(self._vocab_path)
+        return (
+            vocab.withColumn("dist", F.levenshtein(F.col("term"), F.lit(probe)))
+            .filter(F.col("dist") <= max_edits)
+            .join(self._termstats, "term_hash")
+            .select("term", "dist", "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        )
+
+    def approx_docs(self, probe: str, max_edits: int = 1) -> DataFrame:
+        """Docs containing any term within edit distance of the probe —
+        the doc-set form of APPROX."""
+        terms = [r["term"] for r in self.approx_terms(probe, max_edits).collect()]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            self.postings(terms, scored=False)
+            .select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+        )
+
+    def regex_docs(self, pattern: str) -> DataFrame:
+        """Word-level REGEXP query (FEMTO server.c:1656 runs its NFA over
+        the FM-index; the posting-list form runs the regex over the VOCAB
+        — typically 10^4-10^9 terms, tiny next to the corpus — then unions
+        the matching terms' doc sets). Unanchored like the reference."""
+        vocab = self.spark.read.parquet(self._vocab_path)
+        terms = [
+            r["term"]
+            for r in vocab.filter(F.col("term").rlike(pattern)).collect()
+        ]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        return (
+            self.postings(terms, scored=False)
+            .select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+        )
+
     # ------------------------------------------------------------------ #
     # document plane                                                      #
     # ------------------------------------------------------------------ #
