@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_proximity_within"] = lambda s, d: _engine(s, d).proximity(
         "table", "scan", 4, ordered=False
     ).withColumnRenamed("offset", "off")
+    q["fts_phrase"] = lambda s, d: _engine(s, d).phrase("data table")
+    q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
+    q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
     q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
     q["fts_extract_doc"] = lambda s, d: _engine(s, d).extract(3)
     q["fts_scan_regex"] = lambda s, d: _engine(s, d).scan_docs("merge (fast|slow)")
@@ -303,6 +306,24 @@ r AS (SELECT doc_id, pos FROM tokpos WHERE term = 'scan')
 SELECT DISTINCT l.doc_id AS doc_id, least(l.pos, r.pos) AS off
 FROM l JOIN r ON l.doc_id = r.doc_id
  AND abs(r.pos - l.pos) <= 4 AND r.pos <> l.pos"""
+
+    o["fts_phrase"] = f"""{_BASE}
+SELECT a.doc_id AS doc_id, count(*) AS n_matches, min(a.pos) AS first_pos
+FROM tokpos a
+JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'table'
+WHERE a.term = 'data'
+GROUP BY a.doc_id ORDER BY doc_id"""
+
+    o["fts_approx_terms"] = f"""{_BASE}
+SELECT t.term, CAST(levenshtein(t.term, 'tabl') AS INT) AS dist,
+       count(DISTINCT t.doc_id) AS df
+FROM tok t
+GROUP BY t.term HAVING levenshtein(t.term, 'tabl') <= 1
+ORDER BY dist ASC, df DESC, term ASC"""
+
+    o["fts_regex_docs"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tok
+WHERE regexp_matches(term, '^mer|s(can|low)$') ORDER BY doc_id"""
 
     o["fts_extend"] = f"""{_BASE}
 SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE 's%'

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Physical-plan audit: dump `.explain(formatted)` for the headline
+operators and check the properties that matter at 100 TB:
+
+  * index scans carry PushedFilters on bucket + term_hash (partition
+    pruning + row-group skipping);
+  * the per-query term-stats lookup pushes term_hash down;
+  * search_many broadcasts the (tiny) query-term table, never shuffles
+    the decoded postings for the join;
+  * scan path (rlike) pushes the doc_id projection (ReadSchema pruned);
+  * no Exchange appears between the index scan and the decode UDF.
+
+Writes BENCH/PLANS.md (plans + PASS/FAIL per property) for review.
+Usage: python scripts/explain_audit.py [index_dir sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+    from femto_spark.session import get_spark
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    spark = get_spark("explain_audit", shuffle_partitions=8)
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ix_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(REPO, ".scratch", "audit_index")
+    )
+    if not os.path.exists(os.path.join(ix_dir, "stats.json")):
+        build_index(spark, corpus, ix_dir, n_buckets=8)
+    eng = SearchEngine(spark, ix_dir, corpus=corpus)
+
+    sections: list[tuple[str, str, list[tuple[str, bool]]]] = []
+
+    def check(name, df, props):
+        p = plan_of(df)
+        results = [(desc, fn(p)) for desc, fn in props]
+        sections.append((name, p, results))
+
+    # 1. exact search: pruned index scan feeding the decode UDF
+    check(
+        "search('data table scan', k=10) — exact BM25 path",
+        eng.search("data table scan", k=10),
+        [
+            (
+                "bucket partition filter present",
+                lambda p: "bucket" in p and ("PartitionFilters" in p or "bucket IN" in p),
+            ),
+            ("term_hash pushed to parquet", lambda p: "PushedFilters" in p and "term_hash" in p),
+            ("decode runs in Python/Arrow (MapInPandas)", lambda p: "MapInPandas" in p),
+            (
+                "no Exchange between scan and decode",
+                lambda p: p.find("MapInPandas") < p.find("Exchange")
+                if "Exchange" in p
+                else True,
+            ),
+        ],
+    )
+
+    # 2. batched search: broadcast of query-term table
+    check(
+        "search_many(5 queries) — batch join strategy",
+        eng.search_many({"a": "data table", "b": "the", "c": "merge sort"}, k=5),
+        [
+            ("query table broadcast (BroadcastHashJoin)", lambda p: "BroadcastHashJoin" in p),
+            ("window top-k present", lambda p: "Window" in p or "RunningWindowFunction" in p),
+        ],
+    )
+
+    # 3. WAND batch: term rows co-grouped per query
+    check(
+        "search_many_wand(3 queries) — WAND path",
+        eng.search_many_wand({"a": "data table", "b": "the"}, k=5),
+        [
+            ("FlatMapGroupsInPandas (per-query task)", lambda p: "FlatMapGroupsInPandas" in p),
+            ("term_hash pushed to parquet", lambda p: "term_hash" in p and "PushedFilters" in p),
+        ],
+    )
+
+    # 4. scan path: projection pruning
+    check(
+        "scan_docs(regex) — unindexed fallback",
+        eng.scan_docs("merge (fast|slow)"),
+        [
+            (
+                "ReadSchema pruned to needed columns",
+                lambda p: "ReadSchema" in p and "n_chars" not in p.split("ReadSchema")[1][:200],
+            ),
+            ("rlike filter pushed into scan stage", lambda p: "RLIKE" in p or "rlike" in p),
+        ],
+    )
+
+    # 5. exact dedup: single hash aggregate
+    from femto_spark.ops.dedup import exact_duplicates
+
+    check(
+        "exact_duplicates — hash groupBy",
+        exact_duplicates(corpus),
+        [
+            ("partial aggregation (map-side combine)", lambda p: "HashAggregate" in p),
+            ("only md5/doc_id read (column pruning)", lambda p: "ReadSchema" in p),
+        ],
+    )
+
+    # 6. brute-force ANN: whole-stage codegen, broadcast queries
+    from femto_spark.ops.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = embs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    check(
+        "brute_force_topk — JVM cosine",
+        brute_force_topk(embs, q, k=5),
+        [
+            ("broadcast nested loop / hash join for queries", lambda p: "Broadcast" in p),
+            ("WholeStageCodegen spans present", lambda p: "WholeStageCodegen" in p),
+            ("no Python UDF in scoring", lambda p: "MapInPandas" not in p and "Python" not in p),
+        ],
+    )
+
+    # write report
+    out = os.path.join(REPO, "BENCH", "PLANS.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ok_all = True
+    with open(out, "w") as f:
+        f.write("# Physical-plan audit (`.explain('formatted')`)\n\n")
+        f.write(
+            "Properties asserted per operator; full plans below each.\n\n"
+        )
+        for name, p, results in sections:
+            f.write(f"## {name}\n\n")
+            for desc, ok in results:
+                ok_all &= ok
+                f.write(f"- {'PASS' if ok else 'FAIL'}: {desc}\n")
+            f.write("\n```\n" + p.strip()[:4000] + "\n```\n\n")
+    print(f"wrote {out}; all_pass={ok_all}")
+    for name, _, results in sections:
+        for desc, ok in results:
+            if not ok:
+                print(f"FAIL [{name}] {desc}")
+    spark.stop()
+    return 0 if ok_all else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
