@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _op_num(p: str, name: str) -> int:
+    """Position of an operator in the numbered bottom-up plan listing —
+    (1) is the scan; smaller = earlier in execution."""
+    import re as _re
+
+    m = _re.search(r"\((\d+)\) [^\n]*" + name, p)
+    return int(m.group(1)) if m else 10**9
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -69,10 +78,8 @@ def main() -> int:
             ("term_hash pushed to parquet", lambda p: "PushedFilters" in p and "term_hash" in p),
             ("decode runs in Python/Arrow (MapInPandas)", lambda p: "MapInPandas" in p),
             (
-                "no Exchange between scan and decode",
-                lambda p: p.find("MapInPandas") < p.find("Exchange")
-                if "Exchange" in p
-                else True,
+                "no Exchange between scan and decode (numbered op order)",
+                lambda p: _op_num(p, "MapInPandas") < _op_num(p, "Exchange"),
             ),
         ],
     )
@@ -135,8 +142,10 @@ def main() -> int:
         brute_force_topk(embs, q, k=5),
         [
             ("broadcast nested loop / hash join for queries", lambda p: "Broadcast" in p),
-            ("WholeStageCodegen spans present", lambda p: "WholeStageCodegen" in p),
+            # formatted-mode AQE plans don't label WSCG spans; the real
+            # property is that scoring stays JVM-side:
             ("no Python UDF in scoring", lambda p: "MapInPandas" not in p and "Python" not in p),
+            ("window top-k, no global sort", lambda p: "Window" in p),
         ],
     )
 
