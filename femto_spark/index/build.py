@@ -124,16 +124,7 @@ def _posting_row(term_hash: int, doc_ids, tfs, dls, pos_blob):
     }
 
 
-def _batched(row_iter, batch_rows: int = 64):
-    """Collect small per-group result dicts into DataFrame batches."""
-    buf: list[dict] = []
-    for rows in row_iter:
-        buf.extend(rows if isinstance(rows, list) else [rows])
-        if len(buf) >= batch_rows:
-            yield pd.DataFrame(buf)
-            buf = []
-    if buf:
-        yield pd.DataFrame(buf)
+from ..arrowutil import batched_rows as _batched  # shared Arrow-stream helper
 
 
 # ---------------------------------------------------------------------------
@@ -197,32 +188,7 @@ def _make_encode_mapside(range_shift: int):
 # ---------------------------------------------------------------------------
 
 
-def _stream_groups(batches, key_cols: list[str], process):
-    """Yield process(group_pdf) for each contiguous group of `key_cols` in a
-    sorted batch stream, carrying partial groups across Arrow batches."""
-    carry: pd.DataFrame | None = None
-    for pdf in batches:
-        if carry is not None and len(carry):
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
-        n = len(pdf)
-        if n == 0:
-            continue
-        change = np.zeros(n, dtype=bool)
-        for c in key_cols:
-            v = pdf[c].to_numpy()
-            change[1:] |= v[1:] != v[:-1]
-        starts = np.flatnonzero(np.concatenate(([True], change[1:])))
-        last = starts[-1]
-        carry = pdf.iloc[last:]
-        for i in range(len(starts) - 1):
-            out = process(pdf.iloc[starts[i] : starts[i + 1]])
-            if out is not None:
-                yield out
-    if carry is not None and len(carry):
-        out = process(carry)
-        if out is not None:
-            yield out
+from ..arrowutil import stream_groups as _stream_groups  # noqa: E402
 
 
 def _make_merge_stream(shard_size: int, n_buckets: int):

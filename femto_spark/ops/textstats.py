@@ -2,6 +2,11 @@
 document fingerprinting. All JVM-side expressions (whole-stage codegen) —
 no Python in the hot path — with formulas simple enough to restate in
 ANSI SQL for the DuckDB differential oracle.
+
+Every operator materializes the tokens array as its own projection before
+using it: repeating the tokenize expression inside one select re-runs the
+regex split per reference (and inside higher-order lambdas it re-runs per
+ELEMENT) — the materialized column is evaluated once per row.
 """
 
 from __future__ import annotations
@@ -22,41 +27,47 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 
+def _toked(corpus: DataFrame, id_col: str, text_col: str, keep_text: bool = False):
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("toks"),
+    ]
+    if keep_text:
+        cols.append(F.col(text_col).alias("_text"))
+    return corpus.select(*cols)
+
+
 def token_count(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     """(doc_id, n_tokens, n_unique_tokens) — whitespace/punct tokenizer."""
-    toks = spark_tokens_expr(text_col)
-    return corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
-        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_unique_tokens"),
+    return _toked(corpus, id_col, text_col).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").cast("long").alias("n_unique_tokens"),
     )
 
 
 def quality_score(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
-    """Heuristic quality features + composite score, all SQL-expressible:
-    mean word length, stopword ratio, unique-token ratio, alpha ratio.
-    score = 0.25*each, clamped ratios; rounded to 6dp for comparability."""
-    toks = spark_tokens_expr(text_col)
+    """Heuristic quality features, all SQL-expressible: mean word length,
+    stopword ratio, unique-token ratio, alpha ratio; rounded to 6dp."""
     stop_arr = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
-    n = f"size({toks})"
-    uniq = f"size(array_distinct({toks}))"
-    nstop = f"size(filter({toks}, t -> array_contains({stop_arr}, t)))"
     mean_len = (
-        f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
-        f" / greatest({n}, 1)"
+        "aggregate(toks, cast(0.0 as double), (acc, t) -> acc + length(t))"
+        " / greatest(size(toks), 1)"
     )
+    nstop = f"size(filter(toks, t -> array_contains({stop_arr}, t)))"
     alpha = (
-        f"cast(length(regexp_replace(lower({text_col}), '[^a-z]', '')) as double)"
-        f" / greatest(length({text_col}), 1)"
+        "cast(length(regexp_replace(lower(_text), '[^a-z]', '')) as double)"
+        " / greatest(length(_text), 1)"
     )
-    return corpus.select(
-        F.col(id_col).alias("doc_id"),
+    return _toked(corpus, id_col, text_col, keep_text=True).select(
+        "doc_id",
         F.expr(f"floor(({mean_len}) * 1e6 + 0.5) / 1e6").alias("mean_word_len"),
         F.expr(
-            f"floor((cast({nstop} as double) / greatest({n}, 1)) * 1e6 + 0.5) / 1e6"
+            f"floor((cast({nstop} as double) / greatest(size(toks), 1)) * 1e6 + 0.5) / 1e6"
         ).alias("stopword_ratio"),
         F.expr(
-            f"floor((cast({uniq} as double) / greatest({n}, 1)) * 1e6 + 0.5) / 1e6"
+            "floor((cast(size(array_distinct(toks)) as double)"
+            " / greatest(size(toks), 1)) * 1e6 + 0.5) / 1e6"
         ).alias("unique_ratio"),
         F.expr(f"floor(({alpha}) * 1e6 + 0.5) / 1e6").alias("alpha_ratio"),
     )
@@ -68,22 +79,26 @@ def language_id(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     name asc, 'und' when zero hits everywhere). A real pipeline swaps in
     fastText/CLD3 behind the same signature; the rule here is deliberately
     SQL-restatable so the differential oracle can verify the plumbing."""
-    toks = spark_tokens_expr(text_col)
     per_lang = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = "array(" + ",".join(f"'{m}'" for m in markers) + ")"
         per_lang.append(
-            f"struct(-size(filter({toks}, t -> array_contains({arr}, t))) as neg_hits,"
+            f"struct(-size(filter(toks, t -> array_contains({arr}, t))) as neg_hits,"
             f" '{lang}' as lang)"
         )
-    # array_min over (neg_hits, lang) = argmax hits with lang-asc tie-break
+    # array_min over (neg_hits, lang) = argmax hits with lang-asc tie-break;
+    # computed via a materialized `best` column (single evaluation)
     best = f"array_min(array({','.join(per_lang)}))"
-    return corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.expr(
-            f"case when {best}.neg_hits = 0 then 'und' else {best}.lang end"
-        ).alias("pred_lang"),
-        F.expr(f"-{best}.neg_hits").cast("long").alias("marker_hits"),
+    return (
+        _toked(corpus, id_col, text_col)
+        .select("doc_id", F.expr(best).alias("best"))
+        .select(
+            "doc_id",
+            F.expr(
+                "case when best.neg_hits = 0 then 'und' else best.lang end"
+            ).alias("pred_lang"),
+            F.expr("-best.neg_hits").cast("long").alias("marker_hits"),
+        )
     )
 
 
@@ -93,10 +108,9 @@ def fingerprint(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFram
     pure JVM and deterministic. Equal fingerprints ⇔ equal token streams
     (modulo hash collisions), making it an order-aware dedup key that
     ignores punctuation/case, unlike md5(text)."""
-    toks = spark_tokens_expr(text_col)
-    return corpus.select(
-        F.col(id_col).alias("doc_id"),
+    return _toked(corpus, id_col, text_col).select(
+        "doc_id",
         F.expr(
-            f"aggregate({toks}, cast(0 as bigint), (acc, t) -> xxhash64(acc, t))"
+            "aggregate(toks, cast(0 as bigint), (acc, t) -> xxhash64(acc, t))"
         ).alias("fingerprint"),
     )
