@@ -100,6 +100,20 @@ def _engine(spark: SparkSession, sf_dir: str):
         return _ENGINES[key]
     corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     out = os.path.join(_SCRATCH, "index_" + key.strip("/").replace("/", "_"))
+    # refuse stale on-disk layouts from earlier code versions
+    import json as _json
+    import shutil as _shutil
+
+    from femto_spark.index.build import FORMAT_VERSION
+
+    stats_p = os.path.join(out, "stats.json")
+    if os.path.exists(stats_p):
+        try:
+            ok = _json.load(open(stats_p)).get("format_version") == FORMAT_VERSION
+        except Exception:
+            ok = False
+        if not ok:
+            _shutil.rmtree(out, ignore_errors=True)
     build_index(spark, corpus, out, n_buckets=16, resume=True)
     eng = SearchEngine(spark, out, corpus=corpus)
     _ENGINES[key] = eng
@@ -153,6 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_extract_doc"] = lambda s, d: _engine(s, d).extract(3)
     q["fts_scan_regex"] = lambda s, d: _engine(s, d).scan_docs("merge (fast|slow)")
     q["fts_search_batch"] = lambda s, d: _engine(s, d).search_many(_BATCH, k=5)
+    # WAND path must equal the exact path → verified against the SAME SQL
+    q["fts_search_batch_wand"] = lambda s, d: _engine(s, d).search_many_wand(_BATCH, k=5)
 
     # ---- training-pipeline: dedup ----
     def _dedup_exact(s, d):
@@ -358,6 +374,7 @@ rk  AS (SELECT query_id, doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score,
                                            doc_id ASC) AS rank
         FROM agg)
 SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5"""
+    o["fts_search_batch_wand"] = o["fts_search_batch"]
 
     # ---- dedup ----
     o["dedup_exact"] = (

@@ -71,6 +71,9 @@ from ..codec import (
 )
 from ..tokenizer import spark_tokens_expr
 
+# bump when the on-disk layout changes; readers refuse older layouts
+FORMAT_VERSION = 3
+
 # ---------------------------------------------------------------------------
 # schemas
 # ---------------------------------------------------------------------------
@@ -365,6 +368,7 @@ def build_index(
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_buckets": n_buckets,
             "range_shift": range_shift,
+            "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
             json.dump(stats, f)
