@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
     q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
     q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
+    q["fts_docs_for_range"] = lambda s, d: _engine(s, d).docs_for_range(
+        50, 200, term="data"
+    )
+    q["fts_snippets"] = lambda s, d: _engine(s, d).snippets("merge", k=5, width=5)
     q["fts_extract_doc"] = lambda s, d: _engine(s, d).extract(3)
     q["fts_scan_regex"] = lambda s, d: _engine(s, d).scan_docs("merge (fast|slow)")
     q["fts_search_batch"] = lambda s, d: _engine(s, d).search_many(_BATCH, k=5)
@@ -247,6 +251,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(e, qdf, k=5)
 
     q["ann_cosine_top5"] = _ann
+
+    def _ann_ivf(s, d):
+        # nprobe == n_centroids probes every cell ⇒ must equal brute force,
+        # so the IVF plumbing is verified against the exact-cosine oracle
+        from femto_spark.ops.similarity import ivf_topk
+
+        e = _embs(s, d)
+        qdf = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return ivf_topk(e, qdf, k=5, n_centroids=8, nprobe=8)
+
+    q["ann_ivf_top5"] = _ann_ivf
 
     def _ann_lsh(s, d):
         from femto_spark.ops.similarity import lsh_bucket_topk
@@ -340,6 +357,31 @@ ORDER BY dist ASC, df DESC, term ASC"""
     o["fts_regex_docs"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_matches(term, '^mer|s(can|low)$') ORDER BY doc_id"""
+
+    o["fts_docs_for_range"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tok
+WHERE term = 'data' AND doc_id >= 50 AND doc_id < 200 ORDER BY doc_id"""
+
+    # snippets: top-5 BM25 for 'merge' + token window (±5) around the
+    # first occurrence; DuckDB list slicing is 1-based end-inclusive,
+    # Spark slice(arr, start, length) — s..s+10 on both sides
+    snip_topk = _bm25_sql(["merge"], 5, "or")
+    o["fts_snippets"] = f"""
+WITH topk AS ({snip_topk}),
+docs_tok2 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+fp AS (
+    SELECT t.doc_id, min(t.pos) AS first_pos
+    FROM (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+          FROM docs_tok2) t
+    JOIN topk USING (doc_id)
+    WHERE t.term = 'merge' GROUP BY t.doc_id
+)
+SELECT topk.doc_id AS doc_id, topk.score AS score, fp.first_pos AS first_pos,
+       array_to_string(
+         d.toks[greatest(fp.first_pos - 4, 1) : greatest(fp.first_pos - 4, 1) + 10],
+         ' ') AS snippet
+FROM topk JOIN fp ON fp.doc_id = topk.doc_id
+JOIN docs_tok2 d ON d.doc_id = topk.doc_id"""
 
     o["fts_extend"] = f"""{_BASE}
 SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE 's%'
@@ -457,6 +499,8 @@ sc AS (SELECT q.query_id, v.vec_id,
 rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
          ORDER BY cos_sim DESC, vec_id ASC) AS rank FROM sc)
 SELECT query_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5"""
+    # IVF with nprobe == n_centroids is exhaustively probed ⇒ exact
+    o["ann_ivf_top5"] = o["ann_cosine_top5"]
 
     o["ann_embedding_neardup"] = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)

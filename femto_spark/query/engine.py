@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..codec import decode_positions, decode_postings
 from ..scoring import B, K1
-from ..tokenizer import tokenize
+from ..tokenizer import spark_tokens_expr, tokenize
 from ..xxhash import xxhash64
 
 _DECODED_SCHEMA = "term string, doc_id long, tf long, dl long, score double"
@@ -542,6 +542,51 @@ class SearchEngine:
             raise ValueError("engine was built without a corpus DataFrame")
         return self.corpus.filter(F.col(self.id_col) == doc_id).select(
             F.col(self.id_col).alias("doc_id"), F.col(self.text_col).alias("text")
+        )
+
+    def docs_for_range(self, lo: int, hi: int, term: str | None = None) -> DataFrame:
+        """FEMTO's `docs_for_range` request (femto.h:110-139): the doc ids
+        present in [lo, hi); optionally restricted to docs containing a
+        term (range pruning uses the postings' block_last_doc ordering)."""
+        if term is None:
+            return (
+                self._docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .select("doc_id")
+                .orderBy("doc_id")
+            )
+        p = self.postings([term] if isinstance(term, str) else term, scored=False)
+        return (
+            p.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+        )
+
+    def snippets(self, query: str, k: int = 10, width: int = 5) -> DataFrame:
+        """Top-k search with a context snippet around each doc's first
+        query-term occurrence — FEMTO's CONTEXT query (server.c:2627)
+        extracts surrounding characters while locating; with the corpus
+        kept, a snippet is a token-window substring at report time.
+        Returns (doc_id, score, first_pos, snippet)."""
+        top = self.search(query, k)
+        terms = sorted(set(tokenize(query)))
+        pos = self.postings_with_positions(terms).select(
+            "doc_id", F.expr("positions[0]").alias("p0")
+        )
+        first = pos.groupBy("doc_id").agg(F.min("p0").alias("first_pos"))
+        toks = spark_tokens_expr(self.text_col)
+        snip = (
+            f"array_join(slice({toks}, greatest(first_pos - {width} + 1, 1),"
+            f" {2 * width + 1}), ' ')"
+        )
+        return (
+            top.join(first, "doc_id")
+            .join(self.corpus.select(F.col(self.id_col).alias("doc_id"),
+                                     F.col(self.text_col)), "doc_id")
+            .select("doc_id", "score", "first_pos", F.expr(snip).alias("snippet"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
     def doc_info(self, doc_ids: list[int]) -> DataFrame:
