@@ -68,6 +68,11 @@ def run_battery(spark, sf_dir: str) -> dict:
     t("q_proximity_then", lambda: eng.proximity("the", "data", 3, True).count())
     t("q_locate", lambda: eng.locate("merge").count())
     t("q_batch_56", lambda: eng.search_many(batch, k=10).count())
+    t("q_batch_56_wand", lambda: eng.search_many_wand(batch, k=10).count())
+    t("q_wand_single", lambda: eng.search_wand("data table scan", k=10).collect())
+    t("q_phrase", lambda: eng.phrase("data table").count())
+    t("q_approx", lambda: eng.approx_docs("tabl", 1).count())
+    t("q_snippets", lambda: eng.snippets("merge", k=10).collect())
     t("q_extend", lambda: eng.extend("s", 10).collect())
     t("q_scan_regex", lambda: eng.scan_docs("merge (fast|slow)").count())
 

@@ -414,22 +414,35 @@ class SearchEngine:
         joined = lp.join(rp, "doc_id")
 
         def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # The reported offset is min(l, r), so the match set decomposes
+            # into two one-sided window tests — no pair enumeration needed:
+            #   pairs with r > l contribute offset l  ⇔ ∃ r ∈ (l, l+d]
+            #   pairs with r < l (WITHIN only) contribute offset r
+            #                                        ⇔ ∃ l ∈ (r, r+d]
+            # (r == l is excluded by both half-open windows.)
+            def _with_right_after(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+                lo = np.searchsorted(b, a + 1)
+                hi = np.searchsorted(b, a + d, side="right")
+                return a[hi > lo]
+
             for pdf in batches:
                 docs, offs = [], []
                 for r in pdf.itertuples(index=False):
                     l = np.asarray(r.lpos, dtype=np.int64)
                     rr = np.asarray(r.rpos, dtype=np.int64)
-                    lo = np.searchsorted(rr, l + (1 if ordered else -d))
-                    hi = np.searchsorted(rr, l + d, side="right")
-                    hits = set()
-                    for i in np.flatnonzero(hi > lo):
-                        for ro in rr[lo[i] : hi[i]]:
-                            if ro != l[i]:
-                                hits.add(int(min(l[i], ro)))
-                    for h in sorted(hits):
-                        docs.append(r.doc_id)
-                        offs.append(h)
-                yield pd.DataFrame({"doc_id": docs, "offset": offs})
+                    hits = _with_right_after(l, rr)
+                    if not ordered:
+                        hits = np.union1d(hits, _with_right_after(rr, l))
+                    if hits.size:
+                        docs.append(np.full(hits.size, r.doc_id, dtype=np.int64))
+                        offs.append(hits)
+                if docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs),
+                            "offset": np.concatenate(offs),
+                        }
+                    )
 
         return joined.mapInPandas(_match, "doc_id long, offset long").orderBy(
             "doc_id", "offset"
