@@ -354,6 +354,15 @@ class SearchEngine:
             .filter(F.col("rank") <= k)
         )
 
+    def query(self, q: str) -> DataFrame:
+        """Evaluate a FEMTO-grammar query string (QUERY_FORMAT.txt:
+        AND/OR/NOT, THEN d / WITHIN d, "phrases", parens, bare terms =
+        conjunction) to a sorted doc-id set — the femto_search entry
+        shape."""
+        from .parser import eval_with_engine, parse_query
+
+        return eval_with_engine(self, parse_query(q))
+
     # ------------------------------------------------------------------ #
     # boolean set algebra (results.c merge semantics as joins)            #
     # ------------------------------------------------------------------ #
