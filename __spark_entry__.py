@@ -164,6 +164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
     q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
     q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
+    q["fts_query_language"] = lambda s, d: _engine(s, d).query(
+        "(data OR table) NOT scan"
+    )
     q["fts_docs_for_range"] = lambda s, d: _engine(s, d).docs_for_range(
         50, 200, term="data"
     )
@@ -357,6 +360,11 @@ ORDER BY dist ASC, df DESC, term ASC"""
     o["fts_regex_docs"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_matches(term, '^mer|s(can|low)$') ORDER BY doc_id"""
+
+    o["fts_query_language"] = f"""{_BASE}
+SELECT doc_id FROM (
+  SELECT doc_id FROM ({_docset_sql(['data'])}) UNION {_docset_sql(['table'])}
+) EXCEPT {_docset_sql(['scan'])}"""
 
     o["fts_docs_for_range"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tok

@@ -29,6 +29,12 @@ def main() -> int:
     ap.add_argument("--mode", choices=["or", "and"], default="or")
     ap.add_argument("--wand", action="store_true", help="block-max WAND path")
     ap.add_argument("--count", action="store_true", help="term stats only")
+    ap.add_argument(
+        "--grammar",
+        action="store_true",
+        help="evaluate --query as a FEMTO-grammar boolean expression"
+        " (AND/OR/NOT, THEN d, WITHIN d, parens, quoted phrases)",
+    )
     args = ap.parse_args()
     if not args.query and not args.queries_file:
         ap.error("need --query or --queries-file")
@@ -44,6 +50,12 @@ def main() -> int:
     )
     corpus = spark.read.parquet(args.corpus) if args.corpus else None
     eng = SearchEngine(spark, args.index, corpus=corpus)
+
+    if args.grammar:
+        docs = [r["doc_id"] for r in eng.query(args.query).collect()]
+        print(json.dumps({"query": args.query, "doc_ids": docs}))
+        spark.stop()
+        return 0
 
     if args.count:
         for r in eng.count(args.query).collect():
