@@ -135,7 +135,7 @@ from ..arrowutil import batched_rows as _batched  # shared Arrow-stream helper
 # ---------------------------------------------------------------------------
 
 
-def _make_encode_mapside(range_shift: int):
+def _make_encode_mapside(range_shift: int, with_positions: bool = True):
     def _encode(batches):
         """mapInPandas over corpus partitions carrying (doc_id, dl,
         thash array<long>). Per Arrow batch: flatten, lexsort hits by
@@ -174,7 +174,11 @@ def _make_encode_mapside(range_shift: int):
                     uniq_doc, u_starts, tfs = np.unique(
                         d, return_index=True, return_counts=True
                     )
-                    pos_blob = encode_positions_flat(pos_s[lo:hi], tfs)
+                    pos_blob = (
+                        encode_positions_flat(pos_s[lo:hi], tfs)
+                        if with_positions
+                        else b""
+                    )
                     row = _posting_row(
                         int(h_s[lo]), uniq_doc, tfs, dl_s[lo:hi][u_starts], pos_blob
                     )
@@ -207,7 +211,11 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         runs = []
         for r in pdf.itertuples(index=False):
             d, t, l = decode_postings(bytes(r.postings), r.n, r.tf_off, r.dl_off)
-            pflat, _ = decode_positions(bytes(r.positions), t)
+            pblob = bytes(r.positions) if r.positions is not None else b""
+            if pblob:
+                pflat, _ = decode_positions(pblob, t)
+            else:
+                pflat = np.empty(0, dtype=np.int64)
             runs.append((d, t, l, pflat))
         doc = np.concatenate([r[0] for r in runs])
         tfs = np.concatenate([r[1] for r in runs])
@@ -216,6 +224,7 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         order = np.argsort(doc, kind="stable")
         # permute the flat position segments into merged order (vectorized)
         flat = np.concatenate([r[3] for r in runs])
+        has_positions = flat.size > 0
         run_offsets = np.cumsum([0] + [r[3].size for r in runs])[:-1]
         within = np.concatenate(
             [np.cumsum(r[1]) - r[1] for r in runs]
@@ -224,10 +233,13 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         src_starts = within[order]
         lens = tfs
         total = int(lens.sum())
-        out_idx = np.repeat(src_starts, lens) + (
-            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
-        )
-        flat_sorted = flat[out_idx]
+        if has_positions:
+            out_idx = np.repeat(src_starts, lens) + (
+                np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            flat_sorted = flat[out_idx]
+        else:
+            flat_sorted = flat
 
         bucket = th % n_buckets  # == Spark pmod for positive n_buckets
         grp = int(pdf["grp"].iloc[0])
@@ -235,8 +247,12 @@ def _make_merge_stream(shard_size: int, n_buckets: int):
         pos_bounds = np.concatenate(([0], np.cumsum(lens)))
         for shard, lo in enumerate(range(0, doc.size, shard_size)):
             hi = min(lo + shard_size, doc.size)
-            pb = encode_positions_flat(
-                flat_sorted[pos_bounds[lo] : pos_bounds[hi]], lens[lo:hi]
+            pb = (
+                encode_positions_flat(
+                    flat_sorted[pos_bounds[lo] : pos_bounds[hi]], lens[lo:hi]
+                )
+                if has_positions
+                else b""
             )
             row = _posting_row(th, doc[lo:hi], tfs[lo:hi], dls[lo:hi], pb)
             row.update({"bucket": bucket, "grp": grp, "shard": shard})
@@ -312,6 +328,7 @@ def build_index(
     shard_size: int = 1 << 18,
     n_partitions: int | None = None,
     resume: bool = False,
+    with_positions: bool = True,
 ) -> dict:
     """Build the full index layout under `out_dir`:
 
@@ -368,6 +385,7 @@ def build_index(
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "n_buckets": n_buckets,
             "range_shift": range_shift,
+            "with_positions": with_positions,
             "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
@@ -396,7 +414,9 @@ def build_index(
         )
         if src.rdd.getNumPartitions() < n_part:
             src = src.repartition(n_part)
-        partials = src.mapInPandas(_make_encode_mapside(range_shift), PARTIAL_SCHEMA)
+        partials = src.mapInPandas(
+            _make_encode_mapside(range_shift, with_positions), PARTIAL_SCHEMA
+        )
         partials.write.mode("overwrite").parquet(partials_path)
         dt = time.time() - t0
         _commit(out_dir, "partials", {"secs": dt})
@@ -410,7 +430,11 @@ def build_index(
     if _stage("index"):
         t0 = time.time()
         _fresh(index_path)
-        partials = spark.read.parquet(partials_path).withColumn(
+        try:
+            partials = spark.read.parquet(partials_path)
+        except Exception:  # empty corpus → schema-less parquet dir
+            partials = spark.createDataFrame([], PARTIAL_SCHEMA)
+        partials = partials.withColumn(
             "bucket", F.pmod(F.col("term_hash"), F.lit(n_buckets)).cast("int")
         )
         merged = (
@@ -429,7 +453,10 @@ def build_index(
     # ---- stage: termstats + manifest (lineage metrics) --------------------
     if _stage("termstats"):
         t0 = time.time()
-        ix = spark.read.parquet(index_path)
+        try:
+            ix = spark.read.parquet(index_path)
+        except Exception:  # empty corpus
+            ix = spark.createDataFrame([], MERGED_SCHEMA)
         ts_path = os.path.join(out_dir, "termstats")
         _fresh(ts_path)
         (

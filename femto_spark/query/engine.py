@@ -88,11 +88,31 @@ class SearchEngine:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
-        self._index = spark.read.parquet(os.path.join(index_dir, "index"))
-        self._termstats = spark.read.parquet(os.path.join(index_dir, "termstats"))
-        self._docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        self._index = self._read_or_empty(
+            os.path.join(index_dir, "index"),
+            "bucket int, grp long, shard int, term_hash long, n long, cf long,"
+            " tf_off int, dl_off int, block_last_doc array<long>,"
+            " block_max_tf array<long>, block_min_dl array<long>,"
+            " block_gap_off array<int>, block_tf_off array<int>,"
+            " block_dl_off array<int>, postings binary, positions binary",
+        )
+        self._termstats = self._read_or_empty(
+            os.path.join(index_dir, "termstats"),
+            "term_hash long, df long, cf long, n_shards long",
+        )
+        self._docs = self._read_or_empty(
+            os.path.join(index_dir, "docs"), "doc_id long, dl int"
+        )
         self._vocab_path = os.path.join(index_dir, "vocab")
         self._stats_cache: dict[int, tuple[int, int]] = {}  # hash → (df, cf)
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Read a parquet dir; an empty build writes no schema-bearing
+        files, so fall back to an empty DataFrame of the known schema."""
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return self.spark.createDataFrame([], schema)
 
     # ------------------------------------------------------------------ #
     # driver-side term resolution (FEMTO header-lookup analogue)          #
