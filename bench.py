@@ -134,6 +134,8 @@ def main_default() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": n_docs,
                 "build_docs_per_sec": round(dps, 1),
+                "wand_queries_per_sec": round(56 / times["q_batch_56_wand"], 1),
+                "exact_batch_queries_per_sec": round(56 / times["q_batch_56"], 1),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             }
         )

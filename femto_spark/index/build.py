@@ -493,4 +493,29 @@ def build_index(
     report["out_dir"] = out_dir
     report["n_buckets"] = n_buckets
     report["range_shift"] = range_shift
+    if report["stages"]:
+        commit_snapshot(out_dir, "build", report["stages"])
     return report
+
+
+def commit_snapshot(out_dir: str, kind: str, detail: dict) -> dict:
+    """Append an entry to the index's snapshot log (snapshots.json) — the
+    Iceberg-snapshot-shaped lineage chain: each build / incremental append
+    records its parent, so the index's history is auditable and a reader
+    can pin a version. (With a real Iceberg catalog this becomes the
+    table's own snapshot list; the shape is kept identical.)"""
+    path = os.path.join(out_dir, "snapshots.json")
+    log = []
+    if os.path.exists(path):
+        with open(path) as f:
+            log = json.load(f)
+    entry = {
+        "snapshot_id": len(log),
+        "parent_id": len(log) - 1 if log else None,
+        "kind": kind,
+        "detail": detail,
+    }
+    log.append(entry)
+    with open(path, "w") as f:
+        json.dump(log, f, indent=1)
+    return entry

@@ -9,14 +9,14 @@ where BWTs made it hopeless — this is a core payoff of the Spark-first
 redesign:
 
   merge_into(spark, index_dir, new_corpus):
-    1. stage-1 encode ONLY the new docs' salted partial runs and APPEND
+    1. stage-1 encode ONLY the new docs' map-side partial runs and APPEND
        them to partials/ (old partials untouched — tokenizing the old
        corpus, the dominant build cost, is never repeated);
     2. append the new doc-length rows, recompute global stats;
     3. re-run the merge + termstats stages over the unioned partials.
 
-The merge stage is insensitive to duplicate (term, salt) pairs across
-segments: it k-way-merges *runs*, however many there are. Result is
+The merge stage is insensitive to how many runs a (term_hash, grp)
+group has or which segment they came from: it k-way-merges *runs*. Result is
 bit-identical to a one-shot build over the union corpus
 (tests/test_incremental.py) — BM25's global df/N/avgdl are exact, not
 approximated, because term stats are recomputed from the merged index.
@@ -42,6 +42,7 @@ from .build import (
     _make_encode_mapside,
     _marker,
     build_index,
+    commit_snapshot,
 )
 
 
@@ -138,7 +139,7 @@ def merge_into(
             os.remove(m)
     # resume=True skips docs+partials (their markers are fresh) and
     # rebuilds exactly the index/termstats/manifest stages
-    return build_index(
+    report = build_index(
         spark,
         new_corpus.limit(0),  # corpus unused by the remaining stages
         index_dir,
@@ -150,3 +151,5 @@ def merge_into(
         n_partitions=n_part,
         resume=True,
     )
+    commit_snapshot(index_dir, "append", {"n_docs": stats["n_docs"]})
+    return report
