@@ -40,38 +40,46 @@ _THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 def varint_encode(values: np.ndarray) -> np.ndarray:
     """Encode a uint64 array as a concatenated LEB128 byte stream.
 
-    Vectorized: O(10) numpy passes regardless of input length.
+    Vectorized: the common first byte is written with full-array ops (no
+    index gathers — most values are 1-2 bytes for delta gaps), continuation
+    bytes use shrinking fancy-indexed passes; byte counts come from ONE
+    searchsorted pass instead of nine comparisons.
     """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8)
-    # number of 7-bit groups per value (1..10)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
+    nbytes = np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    shifted = v.copy()
-    alive = np.arange(v.size)
-    j = 0
+    # first byte: full-array fast path
+    more = nbytes > 1
+    out[starts] = (v & np.uint64(0x7F)).astype(np.uint8) | (
+        more.astype(np.uint8) << np.uint8(7)
+    )
+    alive = np.flatnonzero(more)
+    vals = v[alive] >> np.uint64(7)
+    nb = nbytes[alive]
+    st = starts[alive]
+    j = 1
     while alive.size:
-        byte = (shifted[alive] & np.uint64(0x7F)).astype(np.uint8)
-        more = nbytes[alive] > (j + 1)
-        out[starts[alive] + j] = byte | (more.astype(np.uint8) << np.uint8(7))
-        shifted[alive] >>= np.uint64(7)
-        alive = alive[more]
+        m = nb > (j + 1)
+        out[st + j] = (vals & np.uint64(0x7F)).astype(np.uint8) | (
+            m.astype(np.uint8) << np.uint8(7)
+        )
+        keep = np.flatnonzero(m)
+        vals = vals[keep] >> np.uint64(7)
+        nb = nb[keep]
+        st = st[keep]
+        alive = keep
         j += 1
     return out
 
 
 def varint_sizes(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length per value (vectorized; used for block offsets)."""
+    """Encoded byte length per value (one searchsorted pass)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += (v >= t).astype(np.int64)
-    return nbytes
+    return np.searchsorted(_THRESHOLDS, v, side="right").astype(np.int64) + 1
 
 
 def varint_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
@@ -227,6 +235,133 @@ def decode_postings_blocks(
         np.concatenate(tfs_out),
         np.concatenate(dls_out),
     )
+
+
+# --------------------------------------------------------------------------
+# many-segment encoder (the build's hot path)
+# --------------------------------------------------------------------------
+
+
+def encode_hit_segments(
+    h_s: np.ndarray,
+    grp_s: np.ndarray,
+    doc_s: np.ndarray,
+    dl_s: np.ndarray,
+    pos_s: np.ndarray,
+    with_positions: bool = True,
+) -> list[dict]:
+    """Encode ALL (term_hash, grp) segments of a sorted hit stream in one
+    vectorized pass — the per-segment loop version cost ~1.7 ms/segment
+    (×10k segments/batch); here every varint stream, gap computation and
+    block statistic is computed globally (ufunc.reduceat over contiguous
+    block ranges), and the residual per-segment Python is a handful of
+    byte-slices. Output rows carry the same fields/format as
+    encode_postings (decoders are shared).
+
+    Inputs are the hit-level arrays sorted by (h, doc, pos); grp must be
+    constant within a (h, doc) run (it is doc-derived).
+    """
+    total = doc_s.size
+    if total == 0:
+        return []
+    seg_change = np.empty(total, dtype=bool)
+    seg_change[0] = True
+    seg_change[1:] = (h_s[1:] != h_s[:-1]) | (grp_s[1:] != grp_s[:-1])
+    post_change = seg_change.copy()
+    post_change[1:] |= doc_s[1:] != doc_s[:-1]
+
+    post_starts = np.flatnonzero(post_change)  # P postings
+    P = post_starts.size
+    tf = np.diff(np.append(post_starts, total)).astype(np.int64)
+    p_doc = doc_s[post_starts]
+    p_dl = dl_s[post_starts]
+
+    seg_hit_start = np.flatnonzero(seg_change)  # S segments
+    S = seg_hit_start.size
+    seg_hit_end = np.append(seg_hit_start[1:], total)
+    seg_post_start = np.searchsorted(post_starts, seg_hit_start)
+    seg_post_end = np.append(seg_post_start[1:], P)
+    seg_n = seg_post_end - seg_post_start
+
+    # doc-id gaps (first posting of a segment keeps its absolute doc id)
+    gaps = p_doc.astype(np.uint64).copy()
+    notfirst = np.ones(P, dtype=bool)
+    notfirst[seg_post_start] = False
+    idx_nf = np.flatnonzero(notfirst)
+    gaps[idx_nf] = p_doc[idx_nf].astype(np.uint64) - p_doc[idx_nf - 1].astype(np.uint64)
+
+    gap_bytes = varint_encode(gaps)
+    tf_bytes = varint_encode(tf.astype(np.uint64))
+    dl_bytes = varint_encode(p_dl.astype(np.uint64))
+    gap_cs = np.concatenate(([0], np.cumsum(varint_sizes(gaps))))
+    tf_cs = np.concatenate(([0], np.cumsum(varint_sizes(tf.astype(np.uint64)))))
+    dl_cs = np.concatenate(([0], np.cumsum(varint_sizes(p_dl.astype(np.uint64)))))
+
+    if with_positions:
+        pdeltas = pos_s.astype(np.uint64).copy()
+        pnf = np.ones(total, dtype=bool)
+        pnf[post_starts] = False
+        pidx = np.flatnonzero(pnf)
+        pdeltas[pidx] = pos_s[pidx].astype(np.uint64) - pos_s[pidx - 1].astype(np.uint64)
+        pos_bytes = varint_encode(pdeltas)
+        pos_cs = np.concatenate(([0], np.cumsum(varint_sizes(pdeltas))))
+
+    # blocks: contiguous posting ranges of ≤ BLOCK_SIZE within segments;
+    # b_start is globally contiguous, so ufunc.reduceat ranges are exact
+    nblocks = (seg_n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    tot_blocks = int(nblocks.sum())
+    blk_seg = np.repeat(np.arange(S), nblocks)
+    blk_cs = np.concatenate(([0], np.cumsum(nblocks)))
+    within = np.arange(tot_blocks) - np.repeat(blk_cs[:-1], nblocks)
+    b_start = seg_post_start[blk_seg] + within * BLOCK_SIZE
+    b_end = np.minimum(b_start + BLOCK_SIZE, seg_post_end[blk_seg])
+    blk_last_doc = p_doc[b_end - 1]
+    blk_max_tf = np.maximum.reduceat(tf, b_start)
+    blk_min_dl = np.minimum.reduceat(p_dl, b_start)
+    seg_gap_base = gap_cs[seg_post_start]
+    seg_tf_base = tf_cs[seg_post_start]
+    seg_dl_base = dl_cs[seg_post_start]
+    blk_gap_off = (gap_cs[b_start] - seg_gap_base[blk_seg]).astype(np.int64)
+    blk_tf_off = (tf_cs[b_start] - seg_tf_base[blk_seg]).astype(np.int64)
+    blk_dl_off = (dl_cs[b_start] - seg_dl_base[blk_seg]).astype(np.int64)
+
+    cf = np.add.reduceat(tf, seg_post_start)
+
+    gb = gap_bytes.tobytes()
+    tb = tf_bytes.tobytes()
+    db = dl_bytes.tobytes()
+    pb = pos_bytes.tobytes() if with_positions else b""
+
+    rows: list[dict] = []
+    for s in range(S):
+        ps, pe = int(seg_post_start[s]), int(seg_post_end[s])
+        g0, g1 = int(gap_cs[ps]), int(gap_cs[pe])
+        t0, t1 = int(tf_cs[ps]), int(tf_cs[pe])
+        d0, d1 = int(dl_cs[ps]), int(dl_cs[pe])
+        bs, be = int(blk_cs[s]), int(blk_cs[s + 1])
+        rows.append(
+            {
+                "term_hash": int(h_s[seg_hit_start[s]]),
+                "grp": int(grp_s[seg_hit_start[s]]),
+                "n": pe - ps,
+                "cf": int(cf[s]),
+                "tf_off": g1 - g0,
+                "dl_off": (g1 - g0) + (t1 - t0),
+                "block_last_doc": blk_last_doc[bs:be].tolist(),
+                "block_max_tf": blk_max_tf[bs:be].tolist(),
+                "block_min_dl": blk_min_dl[bs:be].tolist(),
+                "block_gap_off": blk_gap_off[bs:be].tolist(),
+                "block_tf_off": blk_tf_off[bs:be].tolist(),
+                "block_dl_off": blk_dl_off[bs:be].tolist(),
+                "postings": gb[g0:g1] + tb[t0:t1] + db[d0:d1],
+                "positions": (
+                    pb[int(pos_cs[seg_hit_start[s]]) : int(pos_cs[seg_hit_end[s]])]
+                    if with_positions
+                    else b""
+                ),
+            }
+        )
+    return rows
 
 
 # --------------------------------------------------------------------------

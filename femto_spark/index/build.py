@@ -66,6 +66,7 @@ from pyspark.sql import types as T
 from ..codec import (
     decode_positions,
     decode_postings,
+    encode_hit_segments,
     encode_positions_flat,
     encode_postings,
 )
@@ -139,12 +140,14 @@ def _make_encode_mapside(range_shift: int, with_positions: bool = True):
     def _encode(batches):
         """mapInPandas over corpus partitions carrying (doc_id, dl,
         thash array<long>). Per Arrow batch: flatten, lexsort hits by
-        (hash, doc, pos), cut (hash, grp) segments, varint-encode each as
-        one partial run. Pure int64 numpy — no Python objects, no per-row
-        Python (input_hint mandate); no shuffle has happened — this is the
+        (hash, doc, pos), then encode every (hash, grp) segment in one
+        vectorized pass (codec.encode_hit_segments — global varint
+        streams + ufunc.reduceat block stats; no per-segment loops over
+        numpy calls). Pure int64 — no Python objects, no per-row Python
+        (input_hint mandate); no shuffle has happened — this is the
         map-side combine."""
 
-        def _rows():
+        def _row_batches():
             for pdf in batches:
                 lens = pdf["dl"].to_numpy(np.int64)
                 total = int(lens.sum())
@@ -159,33 +162,18 @@ def _make_encode_mapside(range_shift: int, with_positions: bool = True):
                 pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
                 # grp is monotone in doc_id → sorting (hash, doc) sorts grp
                 order = np.lexsort((pos, doc_rep, flat))
-                h_s = flat[order]
-                doc_s = doc_rep[order]
-                grp_s = doc_s >> range_shift
-                dl_s = dl_rep[order]
-                pos_s = pos[order]
-                change = np.empty(total, dtype=bool)
-                change[0] = True
-                change[1:] = (h_s[1:] != h_s[:-1]) | (grp_s[1:] != grp_s[:-1])
-                seg_starts = np.flatnonzero(change)
-                seg_ends = np.append(seg_starts[1:], total)
-                for lo, hi in zip(seg_starts, seg_ends):
-                    d = doc_s[lo:hi]
-                    uniq_doc, u_starts, tfs = np.unique(
-                        d, return_index=True, return_counts=True
-                    )
-                    pos_blob = (
-                        encode_positions_flat(pos_s[lo:hi], tfs)
-                        if with_positions
-                        else b""
-                    )
-                    row = _posting_row(
-                        int(h_s[lo]), uniq_doc, tfs, dl_s[lo:hi][u_starts], pos_blob
-                    )
-                    row["grp"] = int(grp_s[lo])
-                    yield row
+                rows = encode_hit_segments(
+                    flat[order],
+                    doc_rep[order] >> range_shift,
+                    doc_rep[order],
+                    dl_rep[order],
+                    pos[order],
+                    with_positions,
+                )
+                if rows:
+                    yield pd.DataFrame(rows)
 
-        yield from _batched(_rows())
+        yield from _row_batches()
 
     return _encode
 

@@ -14,11 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+# glibc tuning for the numpy-heavy Arrow workers: without these, every
+# fresh large ndarray is a new mmap whose first-touch page faults cost
+# ~0.5 s per 100 MB on this kernel (measured: `v & 0x7F` on 10.8M uint64
+# fell from 0.56 s to 0.015 s). Keeping big buffers on the heap arena
+# reuses already-faulted pages across operations and batches.
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "134217728",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+}
+
+
 def get_spark(
     app_name: str = "femto_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -40,6 +53,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

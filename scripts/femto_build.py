@@ -47,8 +47,13 @@ def main() -> int:
 
     from femto_spark.index import build_index
 
+    from femto_spark.session import MALLOC_ENV
+
+    builder = SparkSession.builder
+    for _k, _v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{_k}", _v)
     spark = (
-        SparkSession.builder.appName("femto_build")
+        builder.appName("femto_build")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.adaptive.enabled", "true")

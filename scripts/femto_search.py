@@ -43,8 +43,13 @@ def main() -> int:
 
     from femto_spark.query import SearchEngine
 
+    from femto_spark.session import MALLOC_ENV
+
+    builder = SparkSession.builder
+    for _k, _v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{_k}", _v)
     spark = (
-        SparkSession.builder.appName("femto_search")
+        builder.appName("femto_search")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
