@@ -55,17 +55,41 @@ def merge_into(
     text_col: str = "text",
     shard_size: int = 1 << 18,
     n_partitions: int | None = None,
+    run_id: str | None = None,
 ) -> dict:
     """Append `new_corpus` to the index at `index_dir`. Returns the stage
-    report of the re-run merge stages."""
+    report of the re-run merge stages.
+
+    `run_id` makes the append idempotent for retry loops (streaming
+    foreachBatch): the new partials and doc rows are staged under
+    deterministic `run_<run_id>_*` file names — a replay after a crash
+    first deletes any files from the failed attempt, so the same batch
+    can never double-append; a replay after the `_RUN_<id>_DONE` marker
+    is a no-op."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_buckets = int(stats["n_buckets"])
     range_shift = int(stats["range_shift"])
+    with_positions = bool(stats.get("with_positions", True))
     n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # disjointness check against the existing docs table (cheap agg)
+    if run_id is not None and os.path.exists(
+        os.path.join(index_dir, f"_RUN_{run_id}_DONE")
+    ):
+        return {"stages": {}, "skipped": True, "run_id": run_id}
+
+    partials_path = os.path.join(index_dir, "partials")
     docs_path = os.path.join(index_dir, "docs")
+    if run_id is not None:
+        # replay of a crashed attempt: remove this run's files before the
+        # disjointness check so a half-appended batch never double-counts
+        for d in (partials_path, docs_path):
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.startswith(f"run_{run_id}_"):
+                        os.remove(os.path.join(d, fn))
+
+    # disjointness check against the existing docs table (cheap agg)
     old_max = spark.read.parquet(docs_path).agg(F.max("doc_id")).collect()[0][0]
     new_min = new_corpus.agg(F.min(F.col(id_col))).collect()[0][0]
     if old_max is not None and new_min is not None and new_min <= old_max:
@@ -78,8 +102,34 @@ def merge_into(
         F.col(id_col).alias("doc_id"), F.expr(spark_tokens_expr(text_col)).alias("tokens")
     )
 
+    def _append(df: DataFrame, target: str) -> None:
+        """Plain append, or (with run_id) a staged write whose files carry
+        deterministic run-keyed names — the unit the replay path deletes."""
+        if run_id is None:
+            df.write.mode("append").parquet(target)
+            return
+        tmp = target + f"_stage_{run_id}"
+        if os.path.exists(tmp):
+            import shutil as _sh2
+
+            _sh2.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        i = 0
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, fn),
+                    os.path.join(target, f"run_{run_id}_{i:05d}.parquet"),
+                )
+                i += 1
+        import shutil as _sh3
+
+        _sh3.rmtree(tmp)
+
     # 1. append new partial runs (identical map-side stage-1 plan as
-    # build_index; new doc_ids land in fresh or trailing range groups)
+    # build_index; new doc_ids land in fresh or trailing range groups).
+    # The encode honours the index's own positions flag — appending to a
+    # positions-free index must stay positions-free (ADVICE r01).
     src = toks.select(
         "doc_id",
         F.size("tokens").alias("dl"),
@@ -87,14 +137,20 @@ def merge_into(
     )
     if src.rdd.getNumPartitions() < n_part:
         src = src.repartition(n_part)
-    (
-        src.mapInPandas(_make_encode_mapside(range_shift), PARTIAL_SCHEMA)
-        .write.mode("append")
-        .parquet(os.path.join(index_dir, "partials"))
+    _append(
+        src.mapInPandas(
+            _make_encode_mapside(range_shift, with_positions), PARTIAL_SCHEMA
+        ),
+        partials_path,
     )
 
     # 1b. refresh the vocab side table with the new docs' terms
     vocab_path = os.path.join(index_dir, "vocab")
+    tmp_recover = vocab_path + "_tmp"
+    if not os.path.exists(vocab_path) and os.path.exists(tmp_recover):
+        # a previous attempt crashed between rmtree(vocab) and the rename —
+        # the tmp table is complete (written before the swap), recover it
+        os.rename(tmp_recover, vocab_path)
     old_terms = spark.read.parquet(vocab_path).select("term")
     merged_terms = (
         old_terms.union(toks.select(F.explode("tokens").alias("term"))).distinct()
@@ -113,9 +169,7 @@ def merge_into(
     _commit(index_dir, "vocab", {"appended": True})
 
     # 2. append doc lens, recompute global stats
-    toks.select("doc_id", F.size("tokens").alias("dl")).write.mode("append").parquet(
-        docs_path
-    )
+    _append(toks.select("doc_id", F.size("tokens").alias("dl")), docs_path)
     srow = (
         spark.read.parquet(docs_path)
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tt"))
@@ -150,6 +204,10 @@ def merge_into(
         shard_size=shard_size,
         n_partitions=n_part,
         resume=True,
+        with_positions=with_positions,
     )
-    commit_snapshot(index_dir, "append", {"n_docs": stats["n_docs"]})
+    commit_snapshot(index_dir, "append", {"n_docs": stats["n_docs"], "run_id": run_id})
+    if run_id is not None:
+        with open(os.path.join(index_dir, f"_RUN_{run_id}_DONE"), "w") as f:
+            json.dump({"run_id": run_id, "n_docs": stats["n_docs"]}, f)
     return report

@@ -71,9 +71,14 @@ def shingles(corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text") ->
         F.col(id_col).alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("toks"),
     )
+    # guard short docs: sequence(0, -1) yields a DESCENDING [0,-1] and
+    # slice(toks, 0, n) then throws INVALID_PARAMETER_VALUE.START — a doc
+    # with fewer than n tokens simply has no n-grams
     expr = (
-        f"transform(sequence(0, greatest(size(toks) - {n}, -1)),"
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(0, size(toks) - {n}),"
         f" i -> array_join(slice(toks, i + 1, {n}), ' '))"
+        f" else cast(array() as array<string>) end"
     )
     return toked.select(
         "doc_id", F.explode(F.expr(expr)).alias("shingle")
@@ -118,7 +123,12 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    corpus: DataFrame, n_hashes: int = 64, n: int = 3, id_col="doc_id", text_col="text"
+    corpus: DataFrame | None,
+    n_hashes: int = 64,
+    n: int = 3,
+    id_col="doc_id",
+    text_col="text",
+    shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word n-grams.
 
@@ -127,10 +137,18 @@ def minhash_signatures(
     to the per-doc min inside one vectorized numpy matrix op — the
     signature never exists in exploded (doc × perm) row form (an earlier
     revision shuffled |shingles|×n_hashes rows; ~100M rows at 5k docs).
+
+    `shingle_hashes` (doc_id, h) lets a caller that already materialized
+    the shingle table (minhash_lsh_pairs reuses it for the exact-Jaccard
+    verify pass) avoid re-tokenizing + re-shingling the corpus.
     """
     a_co, b_co = _minhash_coeffs(n_hashes)
-    sh = shingles(corpus, n, id_col, text_col).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    sh = (
+        shingle_hashes
+        if shingle_hashes is not None
+        else shingles(corpus, n, id_col, text_col).select(
+            "doc_id", F.xxhash64("shingle").alias("h")
+        )
     )
 
     def _sig_stream(batches):
@@ -178,6 +196,43 @@ def minhash_signatures(
     )
 
 
+def _capped_bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs from equality buckets, with hot
+    buckets capped: a bucket larger than `max_bucket` (boilerplate pages —
+    identical headers across 10^8 docs would otherwise go quadratic) is
+    STAR-linked to its min doc_id instead of all-pairs-joined. The star
+    preserves duplicate-group connectivity (every member pairs with the
+    hub, so connected-components dedup sees the same groups) while
+    emitting O(bucket) instead of O(bucket²) pairs. Buckets at or under
+    the cap are unaffected, so normal corpora produce identical output."""
+    cols = [F.col(c) for c in bucket_cols]
+    if max_bucket is None:
+        small, star = banded, None
+    else:
+        bsz = banded.groupBy(*cols).agg(F.count("*").alias("_bn"))
+        sized = banded.join(bsz, bucket_cols)
+        small = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+        big = sized.filter(F.col("_bn") > max_bucket).drop("_bn")
+        hubs = big.groupBy(*cols).agg(F.min("doc_id").alias("_hub"))
+        star = (
+            big.join(hubs, bucket_cols)
+            .filter(F.col("doc_id") > F.col("_hub"))
+            .select(F.col("_hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    a, b = small.alias("a"), small.alias("b")
+    on = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in bucket_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = a.join(b, on).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    if star is not None:
+        pairs = pairs.union(star)
+    return pairs.distinct()
+
+
 def minhash_lsh_pairs(
     corpus: DataFrame,
     n_hashes: int = 64,
@@ -186,15 +241,24 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col="doc_id",
     text_col="text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
 
     band hash join (shingle→minhash→band→bucket-join) generates candidates;
     exact n-gram Jaccard verifies — so the OUTPUT is deterministic and
-    equals ngram_jaccard_pairs restricted to LSH-found candidates.
+    equals ngram_jaccard_pairs restricted to LSH-found candidates. The
+    shingle table is materialized ONCE (persisted) and reused by both the
+    signature and verify passes; hot band-buckets above `max_bucket` are
+    star-linked (see _capped_bucket_pairs) instead of self-joined.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(corpus, n_hashes, n, id_col, text_col)
+    sh = shingles(corpus, n, id_col, text_col).persist()
+    sigs = minhash_signatures(
+        None,
+        n_hashes,
+        shingle_hashes=sh.select("doc_id", F.xxhash64("shingle").alias("h")),
+    )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -204,21 +268,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _capped_bucket_pairs(banded, ["band", "band_hash"], max_bucket)
     # exact Jaccard verification restricted to the LSH candidates — never
     # the all-pairs computation (that's the whole point of LSH)
-    sh = shingles(corpus, n, id_col, text_col)
     needed = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b"))
     ).distinct()
@@ -252,28 +304,49 @@ def simhash_fingerprints(
     corpus: DataFrame, id_col="doc_id", text_col="text"
 ) -> DataFrame:
     """(doc_id, simhash long) 64-bit SimHash over unigram term hashes,
-    tf-weighted. Vectorized numpy bit-vote inside applyInPandas per doc
-    batch; term hashing stays JVM (xxhash64)."""
+    tf-weighted. The bit-vote is one np.add.reduceat over the whole Arrow
+    batch's (rows × 64) signed-bit matrix — zero per-doc Python (the
+    per-group _vote_one form measured ~10× slower at 5k docs); term
+    hashing stays JVM (xxhash64)."""
     toks = (
         corpus.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(spark_tokens_expr(text_col))).alias("term"))
         .groupBy("doc_id", F.xxhash64("term").alias("h"))
         .agg(F.count("*").alias("w"))
     )
 
-    from ..arrowutil import batched_rows, stream_groups
+    bitpos = np.arange(64, dtype=np.uint64)
 
-    def _vote_one(g: pd.DataFrame) -> dict:
-        h = g["h"].to_numpy(np.int64).astype(np.uint64)
-        w = g["w"].to_numpy(np.int64)
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = ((bits.astype(np.int64) * 2 - 1) * w[:, None]).sum(axis=0)
-        fp = np.uint64(0)
-        for i in np.flatnonzero(votes > 0):
-            fp |= np.uint64(1) << np.uint64(i)
-        return {"doc_id": int(g["doc_id"].iloc[0]), "simhash": int(np.int64(fp))}
+    def _vote(doc, h, w, starts):
+        bits = ((h[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat((bits * 2 - 1) * w[:, None], starts, axis=0)
+        fp = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << bitpos[None, :], axis=1
+        )
+        return pd.DataFrame({"doc_id": doc[starts], "simhash": fp.astype(np.int64)})
 
     def _vote_stream(batches):
-        yield from batched_rows(stream_groups(batches, ["doc_id"], _vote_one))
+        """doc_id-sorted stream; the last (possibly incomplete) doc of
+        each Arrow batch carries into the next — same protocol as the
+        MinHash signature stream."""
+        carry = None
+        for pdf in batches:
+            doc = pdf["doc_id"].to_numpy(np.int64)
+            h = pdf["h"].to_numpy(np.int64).astype(np.uint64)
+            w = pdf["w"].to_numpy(np.int64)
+            if carry is not None:
+                doc = np.concatenate([carry[0], doc])
+                h = np.concatenate([carry[1], h])
+                w = np.concatenate([carry[2], w])
+            if doc.size == 0:
+                continue
+            starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+            last = starts[-1]
+            carry = (doc[last:], h[last:], w[last:])
+            doc, h, w, starts = doc[:last], h[:last], w[:last], starts[:-1]
+            if doc.size:
+                yield _vote(doc, h, w, starts)
+        if carry is not None and carry[0].size:
+            yield _vote(carry[0], carry[1], carry[2], np.array([0]))
 
     return (
         toks.repartition("doc_id")
@@ -283,17 +356,21 @@ def simhash_fingerprints(
 
 
 def simhash_neardup_pairs(
-    corpus: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    id_col="doc_id",
+    text_col="text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ t via pigeonhole banding:
     split 64 bits into t+1 chunks; d ≤ t ⇒ at least one chunk equal ⇒
-    candidates come from an equality bucket join, never O(n²)."""
+    candidates come from an equality bucket join, never O(n²). Chunk
+    buckets above `max_bucket` are star-linked (_capped_bucket_pairs)."""
     chunks = max_hamming + 1
     width = 64 // chunks
     fp = simhash_fingerprints(corpus, id_col, text_col).cache()
     banded = fp.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {chunks - 1}),"
@@ -301,24 +378,16 @@ def simhash_neardup_pairs(
             )
         ).alias("chunk", "chunk_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    cand = _capped_bucket_pairs(banded, ["chunk", "chunk_val"], max_bucket)
+    ha = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    hb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ha ^ hb")).alias("hamming"),
         )
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.expr("ha ^ hb")).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)

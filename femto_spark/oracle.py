@@ -92,7 +92,14 @@ class OracleIndex:
         self, left: str, right: str, d: int, ordered: bool
     ) -> list[tuple[int, int]]:
         """Sorted (doc_id, offset) matches; offset = min(left, right) per the
-        reference's thenResults/withinResults."""
+        reference's thenResults/withinResults. Operands are tokenizer-
+        normalized; multi-token operands raise (same rule as the engine)."""
+        lt, rt = tokenize(left), tokenize(right)
+        if len(lt) != 1 or len(rt) != 1:
+            raise ValueError(
+                f"THEN/WITHIN operands must be single terms: {left!r}, {right!r}"
+            )
+        left, right = lt[0], rt[0]
         out = []
         lp, rp = self.postings.get(left, {}), self.postings.get(right, {})
         for doc_id in sorted(set(lp) & set(rp)):

@@ -67,6 +67,17 @@ def _thash(term: str) -> int:
     return xxhash64(term.encode("utf-8"))
 
 
+def _one_term(s: str, what: str) -> str:
+    """Tokenizer-normalize an operand that must be exactly one term."""
+    toks = tokenize(s)
+    if len(toks) != 1:
+        raise ValueError(
+            f"{what} operand must normalize to exactly one term, got "
+            f"{toks!r} from {s!r}"
+        )
+    return toks[0]
+
+
 class SearchEngine:
     """Reader over an index directory produced by femto_spark.index.build."""
 
@@ -433,7 +444,14 @@ class SearchEngine:
         """THEN d (ordered) / WITHIN d (unordered) — reference semantics
         (`results.c:732-950`): THEN matches 0 < r−l ≤ d, WITHIN matches
         0 < |r−l| ≤ d; reported offset = min(l, r); sorted, deduplicated.
-        Vectorized per doc via searchsorted windows."""
+        Vectorized per doc via searchsorted windows.
+
+        Operands are tokenizer-normalized (an uppercase or punctuated
+        operand matches its normalized form rather than silently hashing
+        to an absent term); multi-token operands are rejected — the same
+        rule the oracle applies."""
+        left = _one_term(left, "THEN/WITHIN left")
+        right = _one_term(right, "THEN/WITHIN right")
         lp = self.postings_with_positions([left]).select(
             "doc_id", F.col("positions").alias("lpos")
         )

@@ -16,9 +16,12 @@ whole protocol into one operator:
     `incremental.merge_into` — so the data is *indexed*, not scan-only,
     within one trigger interval;
   * the stream checkpoint + the index's own stage markers give end-to-end
-    resumability (a crashed batch re-runs; merge_into re-runs are
-    idempotent because partials append under the re-run's fresh stage
-    markers and the merge stage is rebuilt from all partials).
+    resumability: every batch calls merge_into with run_id=batch_id, so a
+    foreachBatch replay after a crash (Spark re-delivers the same
+    batch_id) deletes the failed attempt's run-keyed partial/doc files
+    before re-appending, and a replay of a fully-committed batch (the
+    `_RUN_<id>_DONE` marker exists) is a no-op — exactly-once appends,
+    not blind ones.
 
 Caveat (documented trade): merge_into re-merges affected (term, grp)
 groups per batch; for high-frequency triggers, widen the trigger interval
@@ -53,7 +56,12 @@ def stream_ingest(
         if batch_df.isEmpty():
             return
         merge_into(
-            spark, index_dir, batch_df, id_col=id_col, text_col=text_col
+            spark,
+            index_dir,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            run_id=f"b{batch_id}",
         )
 
     reader = (

@@ -204,3 +204,64 @@ def test_multimodal_plumbing(spark):
     assert abs(sum(x * x for x in feats[0]) - 1.0) < 1e-6  # normalized (f32 decode)
     plan = [(r["doc_id"], r["frame_ts_ms"]) for r in frame_sample_plan(df).collect()]
     assert (1, 0) in plan and (1, 3000) in plan and (1, 4000) not in plan
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens have no n-grams (ADVICE r01: the
+    unguarded sequence(0, -1) form threw INVALID_PARAMETER_VALUE.START)."""
+    from femto_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, shingles
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "two words"),
+            (3, "exactly three tokens"),
+            (4, "this doc has plenty of tokens to shingle"),
+            (5, "this doc has plenty of tokens to shingle"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingles(df).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert 0 not in by_doc and 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3] == {"exactly three tokens"}
+    # the pair ops must survive short docs AND still find the real dup
+    jp = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert jp == {(4, 5)}
+    mp = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df, threshold=0.9).collect()}
+    assert mp == {(4, 5)}
+
+
+def test_lsh_hot_bucket_cap_star_links(spark):
+    """A boilerplate bucket (many identical docs) must not go quadratic:
+    above max_bucket the bucket is star-linked to its min doc_id, which
+    preserves duplicate-group connectivity with O(bucket) pairs."""
+    from femto_spark.ops.dedup import minhash_lsh_pairs, simhash_neardup_pairs
+
+    n = 60
+    rows = [(i, "identical boilerplate header text repeated on every page") for i in range(n)]
+    rows += [(n, "a completely different document body about spark shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.9, max_bucket=10).collect()
+    }
+    # star: hub (doc 0) pairs with every other clone; no clone-clone pairs
+    assert pairs == {(0, i) for i in range(1, n)}
+
+    # uncapped (cap above bucket size) = full clique on the clones
+    clique = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, threshold=0.9, max_bucket=10_000).collect()
+    }
+    assert clique == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+    sp = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(df, max_hamming=3, max_bucket=10).collect()
+    }
+    assert sp == {(0, i) for i in range(1, n)}
