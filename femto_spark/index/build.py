@@ -425,8 +425,17 @@ def build_index(
         partials = partials.withColumn(
             "bucket", F.pmod(F.col("term_hash"), F.lit(n_buckets)).cast("int")
         )
+        # merge parallelism scales with the cluster, NOT with n_buckets: a
+        # range repartition on (bucket, term_hash, grp) slices each bucket
+        # into many merge tasks while keeping every (term_hash, grp) group
+        # whole and each task's rows (near-)bucket-pure, so the
+        # partitionBy(bucket) write stays one-file-per-task-per-bucket.
+        # (The old repartition(n_buckets, "bucket") capped the merge stage
+        # at 16 tasks regardless of cluster size — the build's ceiling at
+        # 100× scale.)
+        n_merge = max(n_part, n_buckets)
         merged = (
-            partials.repartition(n_buckets, "bucket")
+            partials.repartitionByRange(n_merge, "bucket", "term_hash", "grp")
             .sortWithinPartitions("term_hash", "grp")
             .drop("bucket")
             .mapInPandas(_make_merge_stream(shard_size, n_buckets), MERGED_SCHEMA)

@@ -86,3 +86,31 @@ def test_assign_doc_ids(spark):
     dup = spark.createDataFrame([("u",), ("u",)], "url string")
     with pytest.raises(ValueError, match="not unique"):
         verify_unique_key(dup)
+
+
+def test_assign_doc_ids_two_pass_equals_window(spark):
+    """The distributed two-pass rank must equal the (single-partition)
+    window plan bit-for-bit on a seeded corpus — and run with >1 task."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from femto_spark.index.docids import assign_doc_ids
+
+    rng = random.Random(7)
+    rows = [(f"https://site{rng.randrange(10**9)}.example/{i}", i % 5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "url string, lang int").repartition(7)
+
+    w = Window.orderBy(F.col("url"))
+    want = {
+        r["url"]: r["doc_id"]
+        for r in df.withColumn("doc_id", F.row_number().over(w) - 1).collect()
+    }
+    got_df = assign_doc_ids(df, n_partitions=6)
+    got = {r["url"]: r["doc_id"] for r in got_df.collect()}
+    assert got == want
+    # the assignment stage runs on the range-partitioned data: >1 partition
+    assert got_df.rdd.getNumPartitions() > 1
+    # extra columns survive
+    assert set(got_df.columns) == {"url", "lang", "doc_id"}
