@@ -163,6 +163,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_phrase"] = lambda s, d: _engine(s, d).phrase("data table")
     q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
     q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
+    # substring/infix over the INDEXED token stream ('.' may match the
+    # inter-token space) — the FM-index-style core query, answered from
+    # vocab + gram + postings tables without touching the corpus
+    q["fts_regex_infix"] = lambda s, d: _engine(s, d).infix_docs("erge.fas")
+    q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
+        "and", "data", "table"
+    ).withColumnRenamed("offset", "off")
+    # grammar-integrated APPROX + regex atoms inside a boolean expression
+    q["fts_query_mixed"] = lambda s, d: _engine(s, d).query(
+        "(APPROX 1 tabl) AND (data OR sc.n)"
+    )
     q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
     q["fts_query_language"] = lambda s, d: _engine(s, d).query(
         "(data OR table) NOT scan"
@@ -280,11 +291,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_top5"] = _ann_lsh  # no SQL oracle (hyperplane LSH)
 
     def _neardup(s, d):
+        # exact, but blocked-GEMM (no cartesian/nested-loop node) — the
+        # same output as the all-pairs oracle
         from femto_spark.ops.similarity import embedding_neardup_pairs
 
         return embedding_neardup_pairs(_embs(s, d), threshold=0.4)
 
     q["ann_embedding_neardup"] = _neardup
+
+    def _neardup_lsh(s, d):
+        # the 100 TB path: banded hyperplane-LSH candidates, exact cosine
+        # verify (precision 1, recall documented) — no SQL oracle
+        from femto_spark.ops.similarity import embedding_neardup_lsh
+
+        return embedding_neardup_lsh(
+            _embs(s, d), threshold=0.4, n_bands=16, rows_per_band=4
+        )
+
+    q["ann_embedding_neardup_lsh"] = _neardup_lsh
 
     # ---- multimodal plumbing ----
     def _mm(s, d):
@@ -360,6 +384,30 @@ ORDER BY dist ASC, df DESC, term ASC"""
     o["fts_regex_docs"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tok
 WHERE regexp_matches(term, '^mer|s(can|low)$') ORDER BY doc_id"""
+
+    # infix over the indexed token stream: the oracle regexes the SAME
+    # derived sequence the index stores (space-joined tokens)
+    o["fts_regex_infix"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'erge.fas') ORDER BY doc_id"""
+
+    o["fts_bool_and_offsets"] = f"""{_BASE},
+l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),
+r AS (SELECT doc_id, pos FROM tokpos WHERE term = 'table')
+SELECT DISTINCT doc_id, pos AS off FROM (
+  SELECT * FROM l WHERE doc_id IN (SELECT doc_id FROM r)
+  UNION ALL
+  SELECT * FROM r WHERE doc_id IN (SELECT doc_id FROM l)
+) ORDER BY doc_id, off"""
+
+    o["fts_query_mixed"] = f"""{_BASE}
+SELECT doc_id FROM (
+  SELECT DISTINCT doc_id FROM tok WHERE levenshtein(term, 'tabl') <= 1
+) INTERSECT SELECT doc_id FROM (
+  SELECT doc_id FROM ({_docset_sql(['data'])})
+  UNION SELECT DISTINCT doc_id FROM tok WHERE regexp_matches(term, 'sc.n')
+)"""
 
     o["fts_query_language"] = f"""{_BASE}
 SELECT doc_id FROM (

@@ -238,20 +238,147 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ τ).
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ τ) — EXACT,
+    via blocked matrix products instead of a cartesian self-join.
 
-    Self-join; at scale, gate through lsh buckets first (compose with
-    lsh_bucket signatures) — kept exact here as the verification oracle.
+    Plan: ids hash into `n_blocks` blocks; the B(B+1)/2 block pairs fan
+    out as one small broadcast table; each (block_a, block_b) task runs a
+    single float64 GEMM over its two sub-matrices and emits only the
+    surviving pairs. Same output as the nested-loop join, but: no
+    CartesianProduct node, each task is a dense BLAS call (~100× a
+    per-row codegen dot), shuffle volume is n·(B+1)/2 vectors, and B is
+    the memory/parallelism dial (tasks hold 2·(n/B) vectors).
+
+    Exact all-pairs is inherently O(n²) dot products — at true 100 TB
+    scale use embedding_neardup_lsh (banded candidates + exact verify,
+    recall < 1 documented there); this function is the exact path and the
+    verification oracle.
+
+    Determinism: fixed block assignment (xxhash64), float64 GEMM, same
+    floor(·×1e6+0.5) rounding as the SQL forms.
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(f"floor(({cosine_expr('va', 'vb')}) * 1e6 + 0.5) / 1e6").alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    import pandas as pd
+
+    from ..arrowutil import stream_groups
+
+    spark = vectors.sparkSession
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "ba int, bb int")
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
     )
+    a = v.join(F.broadcast(pairs), F.col("blk") == F.col("ba")).select(
+        "ba", "bb", F.lit(0).alias("side"), "id", "v"
+    )
+    b = v.join(F.broadcast(pairs), F.col("blk") == F.col("bb")).select(
+        "ba", "bb", F.lit(1).alias("side"), "id", "v"
+    )
+    both = a.union(b)
+    tau = float(threshold)
+
+    def _gemm(g: pd.DataFrame):
+        same = int(g["ba"].iloc[0]) == int(g["bb"].iloc[0])
+        ga = g[g["side"] == 0]
+        gb = ga if same else g[g["side"] == 1]
+        if ga.empty or gb.empty:
+            return None
+        ia = ga["id"].to_numpy(np.int64)
+        ib = gb["id"].to_numpy(np.int64)
+        ma = np.array(list(ga["v"]), dtype=np.float64)
+        mb = ma if same else np.array(list(gb["v"]), dtype=np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        nb = na if same else np.sqrt((mb * mb).sum(axis=1))
+        cos = (ma @ mb.T) / np.outer(na, nb)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        if same:
+            # strict upper triangle by id (ids within a block are unique)
+            keep = (ia[:, None] < ib[None, :]) & (cos >= tau)
+        else:
+            keep = cos >= tau
+        r, c = np.nonzero(keep)
+        if r.size == 0:
+            return None
+        id_a = np.minimum(ia[r], ib[c])
+        id_b = np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": cos[r, c]})
+
+    def _stream(batches):
+        yield from stream_groups(batches, ["ba", "bb"], _gemm)
+
+    return (
+        both.repartition("ba", "bb")
+        .sortWithinPartitions("ba", "bb", "side")
+        .mapInPandas(_stream, "id_a long, id_b long, cos_sim double")
+    )
+
+
+def embedding_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs: hyperplane sign bits grouped into bands
+    generate candidates from equality-bucket joins; exact cosine verifies
+    each candidate, so PRECISION is 1 and only recall is probabilistic
+    (a cos=τ pair agrees on a bit w.p. 1−θ/π; miss prob =
+    (1−p^r)^bands — at τ=0.9, r=4, 16 bands ≈ 2e-7). This is the 100 TB
+    path; embedding_neardup_pairs is the exact oracle."""
+    planes = lsh_hyperplanes(dim, n_bands * rows_per_band, seed)
+
+    def band_exprs(col: str) -> list[str]:
+        out = []
+        for bnd in range(n_bands):
+            bits = []
+            for rr in range(rows_per_band):
+                p = bnd * rows_per_band + rr
+                arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
+                dot = (
+                    f"aggregate(zip_with({col}, {arr}, (x, y) -> cast(x as double) * y),"
+                    " cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                bits.append(f"(case when {dot} >= 0 then {1 << rr} else 0 end)")
+            out.append(" + ".join(bits))
+        return out
+
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array(*[F.expr(e) for e in band_exprs(vec_col)]).alias("sig"),
+    )
+    banded = sig.select(
+        "id", "v", F.posexplode("sig").alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr(f"floor(({cosine_expr('va', 'vb')}) * 1e6 + 0.5) / 1e6").alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)

@@ -161,6 +161,70 @@ class OracleIndex:
         out.sort(key=lambda x: (x[1], -x[2], x[0]))
         return out
 
+    def approx_docs(
+        self,
+        probe: str,
+        max_edits: int = 1,
+        subst_cost: int = 1,
+        delete_cost: int = 1,
+        insert_cost: int = 1,
+    ) -> set[int]:
+        """Docs containing any term within weighted edit distance —
+        probe→term DP with the reference's per-edit costs
+        (index_types.h:148-162): delete = probe char missing in the data,
+        insert = extra char in the data."""
+
+        def _wlev(a: str, b: str) -> int:
+            prev = [j * insert_cost for j in range(len(b) + 1)]
+            for i, ca in enumerate(a, 1):
+                cur = [i * delete_cost]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(
+                            prev[j] + delete_cost,
+                            cur[j - 1] + insert_cost,
+                            prev[j - 1] + (0 if ca == cb else subst_cost),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        docs: set[int] = set()
+        for t, plist in self.postings.items():
+            if _wlev(probe, t) <= max_edits:
+                docs |= set(plist)
+        return docs
+
+    # -- boolean algebra with offsets (results.c:435-496 keeps both sides) --
+    def boolean_offsets(
+        self, op: str, left: str, right: str
+    ) -> list[tuple[int, int]]:
+        """Sorted (doc_id, offset) pairs through AND/OR/NOT: AND keeps BOTH
+        sides' offsets on the doc intersection, OR all offsets, NOT the
+        left side's offsets on the difference — the results_t merge
+        semantics with locations."""
+
+        def occ(query: str) -> set[tuple[int, int]]:
+            docs = self.docs_for(query)
+            out = set()
+            for t in sorted(set(tokenize(query))):
+                for d, ps in self.postings.get(t, {}).items():
+                    if d in docs:
+                        out.update((d, p) for p in ps)
+            return out
+
+        l, r = occ(left), occ(right)
+        ld, rd = {d for d, _ in l}, {d for d, _ in r}
+        if op == "and":
+            out = {(d, p) for d, p in l | r if d in ld and d in rd}
+        elif op == "or":
+            out = l | r
+        elif op == "not":
+            out = {(d, p) for d, p in l if d not in rd}
+        else:
+            raise ValueError(op)
+        return sorted(out)
+
     # -- regex over the vocabulary (word-level REGEXP analogue) ------------
     def regex_docs(self, pattern: str) -> set[int]:
         """Docs containing any vocabulary term that matches the pattern

@@ -203,10 +203,23 @@ class SearchEngine:
             _decode, _DECODED_SCHEMA
         )
 
-    def postings_with_positions(self, terms: list[str]) -> DataFrame:
+    def postings_with_positions(
+        self, terms: list[str], doc_filter: frozenset[int] | None = None
+    ) -> DataFrame:
         """(term, doc_id, tf, positions) — reads the positions column only
-        here, so plain queries never touch it (column pruning)."""
+        here, so plain queries never touch it (column pruning).
+
+        `doc_filter` restricts the expensive part — building and shipping
+        per-doc position lists — to a known doc set (proximity passes the
+        boolean intersection): rows are masked right after the cheap
+        postings decode, and a posting row none of whose docs qualify
+        skips its positions blob entirely."""
         names = {_thash(t): t for t in terms}
+        filt = (
+            np.array(sorted(doc_filter), dtype=np.int64)
+            if doc_filter is not None
+            else None
+        )
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -215,15 +228,29 @@ class SearchEngine:
                     d, t, _ = decode_postings(
                         bytes(r.postings), r.n, r.tf_off, r.dl_off
                     )
-                    flat, starts = decode_positions(bytes(r.positions), t)
-                    splits = np.split(flat, np.cumsum(t)[:-1])
+                    if filt is not None:
+                        mask = np.isin(d, filt)
+                        if not mask.any():
+                            continue
+                        flat, _ = decode_positions(bytes(r.positions), t)
+                        bounds = np.concatenate(([0], np.cumsum(t)))
+                        keep = np.flatnonzero(mask)
+                        plists = [
+                            flat[bounds[i] : bounds[i + 1]].tolist() for i in keep
+                        ]
+                        d, t = d[mask], t[mask]
+                    else:
+                        flat, _ = decode_positions(bytes(r.positions), t)
+                        plists = [
+                            p.tolist() for p in np.split(flat, np.cumsum(t)[:-1])
+                        ]
                     outs.append(
                         pd.DataFrame(
                             {
                                 "term": names[r.term_hash],
                                 "doc_id": d,
                                 "tf": t,
-                                "positions": [p.tolist() for p in splits],
+                                "positions": plists,
                             }
                         )
                     )
@@ -233,6 +260,67 @@ class SearchEngine:
         cols = ["term_hash", "n", "tf_off", "dl_off", "postings", "positions"]
         return self._term_rows(terms).select(*cols).mapInPandas(
             _decode, _POS_SCHEMA
+        )
+
+    # -- hash-set planes: term sets stay DISTRIBUTED (no driver collect) --
+
+    def _rows_for_hashes(self, cand: DataFrame) -> DataFrame:
+        """Index rows whose term_hash appears in `cand` — a semi-join, the
+        distributed replacement for collect()+isin() (a broad pattern at a
+        10^9-term vocabulary would otherwise ship millions of terms to the
+        driver; FEMTO's REGEXP is likewise index-side, server.c:1656)."""
+        return self._index.join(
+            cand.select("term_hash").distinct(), "term_hash", "semi"
+        )
+
+    def _docs_for_hashes(self, cand: DataFrame) -> DataFrame:
+        """Distinct doc_ids of every posting row matching `cand` hashes."""
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    d, _, _ = decode_postings(
+                        bytes(r.postings), r.n, r.tf_off, r.dl_off
+                    )
+                    outs.append(d)
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        cols = ["n", "tf_off", "dl_off", "postings"]
+        return (
+            self._rows_for_hashes(cand)
+            .select(*cols)
+            .mapInPandas(_decode, "doc_id long")
+            .distinct()
+        )
+
+    def _positions_for_hashes(self, cand: DataFrame) -> DataFrame:
+        """Flat (doc_id, pos) occurrences of every term in `cand`."""
+
+        def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs, poss = [], []
+                for r in pdf.itertuples(index=False):
+                    d, t, _ = decode_postings(
+                        bytes(r.postings), r.n, r.tf_off, r.dl_off
+                    )
+                    flat, _ = decode_positions(bytes(r.positions), t)
+                    docs.append(np.repeat(d, t))
+                    poss.append(flat)
+                if docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(docs),
+                            "pos": np.concatenate(poss),
+                        }
+                    )
+
+        cols = ["n", "tf_off", "dl_off", "postings", "positions"]
+        return (
+            self._rows_for_hashes(cand)
+            .select(*cols)
+            .mapInPandas(_decode, "doc_id long, pos long")
         )
 
     # ------------------------------------------------------------------ #
@@ -423,6 +511,36 @@ class SearchEngine:
             return l.join(r, "doc_id", "left_anti").select("doc_id")
         raise ValueError(op)
 
+    def _offsets_for(self, query: str) -> DataFrame:
+        """(doc_id, offset) occurrences of the query's terms in docs
+        satisfying the query (AND-conjunction) — a results_t WITH
+        locations."""
+        terms = sorted(set(tokenize(query)))
+        occ = self.postings_with_positions(terms).select(
+            "doc_id", F.explode("positions").alias("offset")
+        )
+        if len(terms) > 1:
+            occ = occ.join(self.docs_for(query), "doc_id", "semi")
+        return occ
+
+    def boolean_offsets(self, op: str, left: str, right: str) -> DataFrame:
+        """Boolean algebra carrying (doc_id, offset) through — the
+        reference keeps both sides' offsets (results.c:435-496:
+        intersectResults emits left's and right's locations for docs in
+        the intersection; union all; subtract keeps left's)."""
+        l, r = self._offsets_for(left), self._offsets_for(right)
+        if op == "and":
+            ld = l.select("doc_id").distinct()
+            rd = r.select("doc_id").distinct()
+            out = l.join(rd, "doc_id", "semi").union(r.join(ld, "doc_id", "semi"))
+        elif op == "or":
+            out = l.union(r)
+        elif op == "not":
+            out = l.join(r.select("doc_id").distinct(), "doc_id", "left_anti")
+        else:
+            raise ValueError(op)
+        return out.distinct().orderBy("doc_id", "offset")
+
     # ------------------------------------------------------------------ #
     # locate + proximity (positions plane)                                #
     # ------------------------------------------------------------------ #
@@ -449,13 +567,37 @@ class SearchEngine:
         Operands are tokenizer-normalized (an uppercase or punctuated
         operand matches its normalized form rather than silently hashing
         to an absent term); multi-token operands are rejected — the same
-        rule the oracle applies."""
+        rule the oracle applies.
+
+        Hot-term pruning: when the sides' document frequencies are very
+        asymmetric (a stopword THEN a rare term), the boolean doc
+        intersection is computed FIRST from the postings blobs alone and
+        only the intersecting docs' positions are decoded/shipped — the
+        CLAUDE.md open end. Both plans return identical results; the
+        prune triggers automatically (dfs are already memoized driver-
+        side) and is skipped when the intersection could be huge."""
         left = _one_term(left, "THEN/WITHIN left")
         right = _one_term(right, "THEN/WITHIN right")
-        lp = self.postings_with_positions([left]).select(
+        doc_filter = None
+        stats = self._term_stats([left, right])
+        df_l, df_r = stats[left][0], stats[right][0]
+        lo, hi = min(df_l, df_r), max(df_l, df_r)
+        if hi >= 20_000 and lo * 4 <= hi and lo <= 1_000_000:
+            common = (
+                self.postings([left], scored=False)
+                .select("doc_id")
+                .join(
+                    self.postings([right], scored=False).select("doc_id"),
+                    "doc_id",
+                    "semi",
+                )
+                .collect()
+            )
+            doc_filter = frozenset(r["doc_id"] for r in common)
+        lp = self.postings_with_positions([left], doc_filter).select(
             "doc_id", F.col("positions").alias("lpos")
         )
-        rp = self.postings_with_positions([right]).select(
+        rp = self.postings_with_positions([right], doc_filter).select(
             "doc_id", F.col("positions").alias("rpos")
         )
         joined = lp.join(rp, "doc_id")
@@ -545,50 +687,132 @@ class SearchEngine:
             _match, "doc_id long, n_matches long, first_pos long"
         ).orderBy("doc_id")
 
-    def approx_terms(self, probe: str, max_edits: int = 1) -> DataFrame:
-        """FEMTO APPROX analogue (QUERY_FORMAT.txt:129-161): vocabulary
-        terms within edit distance, via the JVM levenshtein over the vocab
-        table — (term, dist, df), ordered (dist, df desc, term)."""
+    def _vocab_pruned(self, fragment: str, max_missing: int = 0) -> DataFrame:
+        """Vocab rows gram-pruned by a literal fragment (lossless; see
+        index/ngram.py). Falls back to the whole vocab when the fragment
+        is too short to prune — still a distributed scan, never a
+        driver-side term list."""
         vocab = self.spark.read.parquet(self._vocab_path)
+        from ..index.ngram import ensure_vocab_ngrams, prune_terms_by_grams
+
+        if len(fragment) >= 3:
+            ngrams = ensure_vocab_ngrams(self.spark, self.index_dir)
+            pruned = prune_terms_by_grams(
+                vocab, ngrams, fragment, max_missing=max_missing
+            )
+            if pruned is not None:
+                return pruned
+        return vocab
+
+    def approx_terms(
+        self,
+        probe: str,
+        max_edits: int = 1,
+        subst_cost: int = 1,
+        delete_cost: int = 1,
+        insert_cost: int = 1,
+    ) -> DataFrame:
+        """FEMTO APPROX (QUERY_FORMAT.txt:129-161): vocabulary terms with
+        weighted edit distance ≤ max_edits — (term, dist, df), ordered
+        (dist, df desc, term). Unit costs run the JVM levenshtein; custom
+        subst/delete/insert costs (the reference's
+        APPROX max:subst:del:ins form, index_types.h:148-162) run a
+        numpy DP. Either way the vocab scan is first pruned through the
+        char-3-gram table: a term within k edits of the probe shares at
+        least |grams(probe)| − 3k of its grams, so at 10^9 vocabularies
+        the distance only evaluates on a sliver of terms."""
+        min_cost = min(subst_cost, delete_cost, insert_cost)
+        k_eff = max_edits // max(min_cost, 1)
+        cand = self._vocab_pruned(probe, max_missing=3 * k_eff)
+        unit = subst_cost == delete_cost == insert_cost == 1
+        if unit:
+            scored = cand.withColumn(
+                "dist", F.levenshtein(F.col("term"), F.lit(probe))
+            )
+        else:
+            costs = (subst_cost, delete_cost, insert_cost)
+
+            def _wdist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                sc, dc, ic = costs
+                p = probe
+
+                def one(t: str) -> int:
+                    # DP over probe→term: delete = probe char missing in
+                    # the data, insert = extra char in the data (reference
+                    # cost semantics)
+                    prev = [j * ic for j in range(len(t) + 1)]
+                    for i, ca in enumerate(p, 1):
+                        cur = [i * dc]
+                        for j, cb in enumerate(t, 1):
+                            cur.append(
+                                min(
+                                    prev[j] + dc,
+                                    cur[j - 1] + ic,
+                                    prev[j - 1] + (0 if ca == cb else sc),
+                                )
+                            )
+                        prev = cur
+                    return prev[-1]
+
+                for pdf in batches:
+                    pdf = pdf.copy()
+                    pdf["dist"] = [one(t) for t in pdf["term"]]
+                    yield pdf
+
+            scored = cand.select("term_hash", "term").mapInPandas(
+                _wdist, "term_hash long, term string, dist int"
+            )
         return (
-            vocab.withColumn("dist", F.levenshtein(F.col("term"), F.lit(probe)))
-            .filter(F.col("dist") <= max_edits)
+            scored.filter(F.col("dist") <= max_edits)
             .join(self._termstats, "term_hash")
             .select("term", "dist", "df")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         )
 
-    def approx_docs(self, probe: str, max_edits: int = 1) -> DataFrame:
+    def approx_docs(self, probe: str, max_edits: int = 1, **costs) -> DataFrame:
         """Docs containing any term within edit distance of the probe —
-        the doc-set form of APPROX."""
-        terms = [r["term"] for r in self.approx_terms(probe, max_edits).collect()]
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
-        return (
-            self.postings(terms, scored=False)
-            .select("doc_id")
-            .distinct()
-            .orderBy("doc_id")
+        the doc-set form of APPROX. Fully distributed: the matching-term
+        set semi-joins the index on term_hash (no driver collect)."""
+        min_cost = min(
+            costs.get("subst_cost", 1),
+            costs.get("delete_cost", 1),
+            costs.get("insert_cost", 1),
         )
+        cand = self._vocab_pruned(probe, max_missing=3 * (max_edits // max(min_cost, 1)))
+        if costs.get("subst_cost", 1) == costs.get("delete_cost", 1) == costs.get("insert_cost", 1) == 1:
+            matched = cand.filter(
+                F.levenshtein(F.col("term"), F.lit(probe)) <= max_edits
+            )
+        else:
+            matched = (
+                self.approx_terms(probe, max_edits, **costs)
+                .withColumn("term_hash", F.xxhash64("term"))
+            )
+        return self._docs_for_hashes(matched).orderBy("doc_id")
 
     def regex_docs(self, pattern: str) -> DataFrame:
         """Word-level REGEXP query (FEMTO server.c:1656 runs its NFA over
         the FM-index; the posting-list form runs the regex over the VOCAB
         — typically 10^4-10^9 terms, tiny next to the corpus — then unions
-        the matching terms' doc sets). Unanchored like the reference."""
-        vocab = self.spark.read.parquet(self._vocab_path)
-        terms = [
-            r["term"]
-            for r in vocab.filter(F.col("term").rlike(pattern)).collect()
-        ]
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
-        return (
-            self.postings(terms, scored=False)
-            .select("doc_id")
-            .distinct()
-            .orderBy("doc_id")
+        the matching terms' doc sets). Unanchored like the reference.
+        The vocab scan is gram-pruned by the pattern's longest literal
+        run, matched terms semi-join the index — everything distributed
+        (no driver-side term list, no isin)."""
+        from ..index.ngram import required_literal_run
+
+        matched = self._vocab_pruned(required_literal_run(pattern)).filter(
+            F.col("term").rlike(pattern)
         )
+        return self._docs_for_hashes(matched).orderBy("doc_id")
+
+    def infix_docs(self, pattern: str) -> DataFrame:
+        """Substring/infix search over the indexed token stream — the
+        reference's defining capability (backward search, server.c:713),
+        answered from vocab + grams + postings without touching the
+        corpus. See query/infix.py for the supported pattern subset."""
+        from .infix import infix_docs as _infix
+
+        return _infix(self, pattern)
 
     # ------------------------------------------------------------------ #
     # document plane                                                      #
@@ -632,9 +856,12 @@ class SearchEngine:
         Returns (doc_id, score, first_pos, snippet)."""
         top = self.search(query, k)
         terms = sorted(set(tokenize(query)))
+        # aggregate first positions ONLY for the k winners (semi-join the
+        # tiny top-k doc set in before the groupBy) — a hot term would
+        # otherwise aggregate every containing doc just to keep 10
         pos = self.postings_with_positions(terms).select(
             "doc_id", F.expr("positions[0]").alias("p0")
-        )
+        ).join(F.broadcast(top.select("doc_id")), "doc_id", "semi")
         first = pos.groupBy("doc_id").agg(F.min("p0").alias("first_pos"))
         toks = spark_tokens_expr(self.text_col)
         snip = (

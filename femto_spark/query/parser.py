@@ -2,21 +2,29 @@
 `/root/reference/src/main/QUERY_FORMAT.txt:1-161` (flex/bison grammar at
 `src/main/posix.flex.l` / `posix.bison.y`, AST ops `src/main/ast.h:181-199`).
 
-Supported surface (the boolean plane of the reference grammar):
+Supported surface (the boolean plane of the reference grammar, plus its
+APPROX and regex atoms, QUERY_FORMAT.txt:96-161):
 
     expr    := or
     or      := and ( OR and )*
     and     := not ( AND not )*
     not     := prox ( NOT prox )*          # binary: a NOT b = a minus b
     prox    := atom ( (THEN|WITHIN) d atom )?
-    atom    := '(' expr ')' | '"phrase words"' | term+   # bare terms = AND
+    atom    := '(' expr ')' | '"phrase words"'
+             | APPROX [k | max:sub:del:ins] word       # approximate atom
+             | piece+                                  # adjacency = AND
+    piece   := word with regex metachars → word-level REGEXP atom
+             | plain words               → conjunction of terms
 
 Evaluation produces a sorted doc-id set via the engine's (or oracle's)
 boolean/proximity/phrase operators — the results_t algebra
-(`src/main/results.c`). Regex atoms are served by the word-level
-regex_docs / scan path and APPROX by approx_docs, both exposed as
-functions rather than grammar tokens (the reference's `APPROX k pattern`
-prefix form maps 1:1 onto those calls).
+(`src/main/results.c`). A bare word containing regex metacharacters (the
+reference treats `. [ ] ( ) | * + ? { }` as special unless quoted,
+QUERY_FORMAT.txt:20-24) becomes a REGEXP atom served by regex_docs;
+`APPROX` accepts the reference's optional edit budget or
+max:subst:delete:insert cost form (index_types.h:148-162) — so
+`(APPROX 1 tabl) AND data` and `data ta.le` compose inside boolean
+expressions.
 """
 
 from __future__ import annotations
@@ -25,18 +33,26 @@ import re
 from dataclasses import dataclass
 
 _TOKEN_RE = re.compile(
-    r"\s*(\(|\)|\"[^\"]*\"|AND\b|OR\b|NOT\b|THEN\b|WITHIN\b|[^\s()]+)"
+    r"\s*(\(|\)|\"[^\"]*\"|AND\b|OR\b|NOT\b|THEN\b|WITHIN\b|APPROX\b|[^\s()]+)"
 )
 
-_KEYWORDS = {"AND", "OR", "NOT", "THEN", "WITHIN", "(", ")"}
+_KEYWORDS = {"AND", "OR", "NOT", "THEN", "WITHIN", "APPROX", "(", ")"}
+
+# the reference's special characters (QUERY_FORMAT.txt:20-24) minus the
+# grouping parens the lexer already owns — a bare word containing any of
+# these is a regex atom
+_REGEX_META = set(".[]*+?{}|^$")
 
 
 @dataclass
 class Node:
-    op: str  # 'or' | 'and' | 'not' | 'then' | 'within' | 'terms' | 'phrase'
+    # 'or' | 'and' | 'not' | 'then' | 'within' | 'terms' | 'phrase'
+    # | 'regex' | 'approx'
+    op: str
     children: list
     dist: int | None = None
     text: str | None = None
+    costs: tuple[int, int, int] | None = None  # approx (subst, del, ins)
 
 
 def _lex(q: str) -> list[str]:
@@ -117,14 +133,51 @@ class _Parser:
         if t.startswith('"'):
             self.take()
             return Node("phrase", [], text=t.strip('"'))
-        # greedily absorb adjacent bare terms (implicit conjunction —
-        # FEMTO's concatenated-pattern form)
-        words = []
+        if t == "APPROX":
+            self.take()
+            dist, costs = 1, (1, 1, 1)
+            nxt = self.peek()
+            if nxt is not None and (nxt.isdigit() or ":" in nxt):
+                spec = self.take()
+                if ":" in spec:
+                    parts = spec.split(":")
+                    if len(parts) != 4 or not all(p.isdigit() for p in parts):
+                        raise ValueError(
+                            f"APPROX cost spec must be max:subst:delete:insert, got {spec!r}"
+                        )
+                    dist = int(parts[0])
+                    costs = (int(parts[1]), int(parts[2]), int(parts[3]))
+                else:
+                    dist = int(spec)
+            word = self.peek()
+            if word is None or word in _KEYWORDS or word.startswith('"'):
+                raise ValueError("APPROX needs a pattern word")
+            return Node("approx", [], text=self.take(), dist=dist, costs=costs)
+        # greedily absorb adjacent bare pieces (implicit conjunction —
+        # FEMTO's concatenated-pattern form); a piece with regex
+        # metacharacters is a word-level REGEXP atom
+        pieces: list[Node] = []
+        words: list[str] = []
+
+        def _flush():
+            if words:
+                pieces.append(Node("terms", [], text=" ".join(words)))
+                words.clear()
+
         while (p := self.peek()) is not None and p not in _KEYWORDS and not p.startswith('"'):
-            words.append(self.take())
-        if not words:
+            w = self.take()
+            if set(w) & _REGEX_META:
+                _flush()
+                pieces.append(Node("regex", [], text=w))
+            else:
+                words.append(w)
+        _flush()
+        if not pieces:
             raise ValueError(f"unexpected token {t!r}")
-        return Node("terms", [], text=" ".join(words))
+        node = pieces[0]
+        for nxt_piece in pieces[1:]:
+            node = Node("and", [node, nxt_piece])
+        return node
 
 
 def parse_query(q: str) -> Node:
@@ -148,6 +201,13 @@ def eval_with_engine(engine, node: Node):
             return engine.docs_for(n.text)
         if n.op == "phrase":
             return engine.phrase(n.text).select("doc_id")
+        if n.op == "regex":
+            return engine.regex_docs(n.text)
+        if n.op == "approx":
+            s, d, i = n.costs or (1, 1, 1)
+            return engine.approx_docs(
+                n.text, n.dist, subst_cost=s, delete_cost=d, insert_cost=i
+            )
         if n.op in ("then", "within"):
             lt, rt = n.children[0].text, n.children[1].text
             return (
@@ -173,6 +233,11 @@ def eval_with_oracle(oracle, node: Node) -> set[int]:
         return oracle.docs_for(node.text)
     if node.op == "phrase":
         return {d for d, _, _ in oracle.phrase(node.text)}
+    if node.op == "regex":
+        return oracle.regex_docs(node.text)
+    if node.op == "approx":
+        s, d, i = node.costs or (1, 1, 1)
+        return oracle.approx_docs(node.text, node.dist, s, d, i)
     if node.op in ("then", "within"):
         lt, rt = node.children[0].text, node.children[1].text
         return {

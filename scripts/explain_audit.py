@@ -149,6 +149,78 @@ def main() -> int:
         ],
     )
 
+    # 7. blocked embedding near-dup: exact, but NEVER a cartesian product
+    from femto_spark.ops.similarity import embedding_neardup_pairs
+
+    check(
+        "embedding_neardup_pairs — blocked GEMM, no cartesian",
+        embedding_neardup_pairs(embs, threshold=0.4),
+        [
+            (
+                "no CartesianProduct / nested-loop join",
+                lambda p: "CartesianProduct" not in p
+                and "BroadcastNestedLoop" not in p,
+            ),
+            ("GEMM runs in Python/Arrow (MapInPandas)", lambda p: "MapInPandas" in p),
+        ],
+    )
+
+    # 8. regex doc resolution: distributed semi-join, no driver isin
+    check(
+        "regex_docs('^mer|s(can|low)$') — vocab semi-join path",
+        eng.regex_docs("^mer|s(can|low)$"),
+        [
+            ("term set joins the index (LeftSemi)", lambda p: "LeftSemi" in p),
+            (
+                "no driver-side In(term_hash, [..large list..]) filter",
+                lambda p: "term_hash IN (" not in p,
+            ),
+        ],
+    )
+
+    # 9. infix search: answered from index tables only — corpus never read
+    check(
+        "infix_docs('erge.fas') — substring over the index",
+        eng.infix_docs("erge.fas"),
+        [
+            (
+                "no corpus scan (documents.parquet absent from plan)",
+                lambda p: "documents.parquet" not in p,
+            ),
+            ("gram/vocab pruning joins present", lambda p: "LeftSemi" in p),
+        ],
+    )
+
+    # 10. merge stage parallelism: range repartition on (bucket, term,
+    # grp) — NOT the old 16-task repartition(n_buckets)
+    from femto_spark.index.build import MERGED_SCHEMA, _make_merge_stream
+    from pyspark.sql import functions as FF
+
+    partials = spark.read.parquet(os.path.join(ix_dir, "partials")).withColumn(
+        "bucket", FF.pmod(FF.col("term_hash"), FF.lit(8)).cast("int")
+    )
+    n_merge = 32
+    merged_plan_df = (
+        partials.repartitionByRange(n_merge, "bucket", "term_hash", "grp")
+        .sortWithinPartitions("term_hash", "grp")
+        .drop("bucket")
+        .mapInPandas(_make_merge_stream(1 << 18, 8), MERGED_SCHEMA)
+    )
+    check(
+        "index merge stage — parallelism beyond n_buckets",
+        merged_plan_df,
+        [
+            (
+                "range repartition (scales with cluster, not n_buckets)",
+                lambda p: "rangepartitioning" in p.lower(),
+            ),
+            (
+                f"merge task count = {n_merge} (> n_buckets)",
+                lambda p: merged_plan_df.rdd.getNumPartitions() == n_merge,
+            ),
+        ],
+    )
+
     # write report
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -265,3 +265,56 @@ def test_lsh_hot_bucket_cap_star_links(spark):
         for r in simhash_neardup_pairs(df, max_hamming=3, max_bucket=10).collect()
     }
     assert sp == {(0, i) for i in range(1, n)}
+
+
+def test_embedding_neardup_blocked_equals_allpairs(spark, embs):
+    """The blocked-GEMM plan must equal the all-pairs formula exactly
+    (values included) for any block count, and its plan must contain no
+    cartesian/nested-loop join."""
+    from femto_spark.ops.similarity import embedding_neardup_pairs
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = [r[0] for r in rows]
+    nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.floor((nrm @ nrm.T) * 1e6 + 0.5) / 1e6
+    want = sorted(
+        (ids[i], ids[j], cos[i, j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.4
+    )
+    for nb in (1, 3, 8):
+        df = embedding_neardup_pairs(embs, threshold=0.4, n_blocks=nb)
+        got = sorted((r["id_a"], r["id_b"], r["cos_sim"]) for r in df.collect())
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want], nb
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], abs=1e-9)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        embedding_neardup_pairs(embs, threshold=0.4).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_neardup_lsh_precision_one(spark, embs):
+    """LSH-banded near-dup: every returned pair is a true pair (exact
+    verify), recall is high at the documented parameters."""
+    from femto_spark.ops.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(embs, 0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(embs, 0.4, n_bands=16, rows_per_band=4).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.8 * len(exact)

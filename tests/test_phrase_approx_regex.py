@@ -48,3 +48,68 @@ def test_regex_docs_match_oracle(engine, oracle_sf001, pattern):
     want = sorted(oracle_sf001.regex_docs(pattern))
     got = [r["doc_id"] for r in engine.regex_docs(pattern).collect()]
     assert got == want, pattern
+
+
+def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
+    """infix_docs must equal a regex over the space-joined token stream —
+    the indexed sequence (FEMTO's substring-over-index core query)."""
+    import re
+
+    from femto_spark.tokenizer import tokenize
+
+    streams = {d: " ".join(tokenize(t)) for d, t in docs_sf001.items()}
+    for pat in ["erge.fas", "erge fas", "ta.le", "merge", "able sc", "a.a"]:
+        want = sorted(d for d, s in streams.items() if re.search(pat, s))
+        got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
+        assert got == want, pat
+
+
+def test_infix_rejects_unsupported(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.infix_docs("a|b")
+
+
+def test_approx_weighted_costs(engine, oracle_sf001):
+    """Weighted APPROX (max:subst:delete:insert) — engine vs oracle DP."""
+    for kwargs in (
+        dict(max_edits=1),
+        dict(max_edits=2, subst_cost=2, delete_cost=1, insert_cost=2),
+        dict(max_edits=2, subst_cost=1, delete_cost=2, insert_cost=1),
+    ):
+        got = [r["doc_id"] for r in engine.approx_docs("tabl", **kwargs).collect()]
+        want = sorted(oracle_sf001.approx_docs("tabl", **kwargs))
+        assert got == want, kwargs
+
+
+def test_boolean_offsets_vs_oracle(engine, oracle_sf001):
+    for op in ("and", "or", "not"):
+        got = [
+            (r["doc_id"], r["offset"])
+            for r in engine.boolean_offsets(op, "data", "table").collect()
+        ]
+        assert got == oracle_sf001.boolean_offsets(op, "data", "table"), op
+
+
+def test_regex_pruning_is_lossless(engine, oracle_sf001):
+    """Alternation/class patterns must NOT be gram-pruned (a run in one
+    branch isn't required) — regression for the '^mer|s(can|low)$' bug."""
+    for pat in ["^mer|s(can|low)$", "merge", "ta.le", "x[yz]a", "ab+c"]:
+        got = [r["doc_id"] for r in engine.regex_docs(pat).collect()]
+        assert got == sorted(oracle_sf001.regex_docs(pat)), pat
+
+
+def test_query_grammar_mixed_atoms(engine, oracle_sf001):
+    """APPROX and regex atoms compose inside boolean expressions."""
+    from femto_spark.query.parser import eval_with_oracle, parse_query
+
+    for q in [
+        "(APPROX 1 tabl) AND data",
+        "(APPROX 2:2:1:2 tabl) OR scan",
+        "data ta.le",
+        "sc.n NOT merge",
+    ]:
+        want = sorted(eval_with_oracle(oracle_sf001, parse_query(q)))
+        got = [r["doc_id"] for r in engine.query(q).collect()]
+        assert got == want, q
