@@ -85,6 +85,38 @@ def shingles(corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text") ->
     ).distinct()
 
 
+def shingle_hashes(
+    corpus: DataFrame,
+    n: int = 3,
+    id_col="doc_id",
+    text_col="text",
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, h) xxhash64'd word n-grams — the hot-path form: the hash
+    is computed INSIDE the projection, so shingle strings never leave the
+    map stage (every shuffle/join downstream moves 16-byte rows, not
+    text; same no-strings principle as the index build). Jaccard on
+    hashes equals Jaccard on strings modulo 64-bit collisions —
+    negligible below ~10^9 distinct shingles; widen to a (h1, h2) pair
+    of seeds past that.
+
+    distinct=False skips the global dedup shuffle — for duplicate-
+    INVARIANT consumers (MinHash: min over a multiset equals min over
+    its set), the biggest data-volume stage of the pipeline disappears."""
+    toked = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("toks"),
+    )
+    expr = (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(0, size(toks) - {n}),"
+        f" i -> xxhash64(array_join(slice(toks, i + 1, {n}), ' ')))"
+        f" else cast(array() as array<bigint>) end"
+    )
+    out = toked.select("doc_id", F.explode(F.expr(expr)).alias("h"))
+    return out.distinct() if distinct else out
+
+
 def ngram_jaccard_pairs(
     corpus: DataFrame,
     threshold: float = 0.5,
@@ -97,14 +129,15 @@ def ngram_jaccard_pairs(
     Plan: shingle-inverted self-join (only co-occurring docs pair up) →
     count common shingles → jaccard = common / (|A| + |B| − common).
     At 100 TB you run this on LSH candidates; standalone it is still
-    shuffle-bounded by shingle co-occurrence, not n².
+    shuffle-bounded by shingle co-occurrence, not n². All joins move
+    int64 shingle hashes, never the strings.
     """
-    sh = shingles(corpus, n, id_col, text_col).cache()
+    sh = shingle_hashes(corpus, n, id_col, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
@@ -130,31 +163,57 @@ def minhash_signatures(
     text_col="text",
     shingle_hashes: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, sig array<long>) MinHash signatures over word n-grams.
+    """(doc_id, sig array<long>) MinHash signatures over word n-grams —
+    ZERO shuffles: a doc's shingles never leave its corpus row, so the
+    per-doc minima compute map-side. The JVM projects each doc to its
+    shingle-hash ARRAY (xxhash64 inside the projection); one mapInPandas
+    pass flattens the batch, applies ALL n_hashes permutations
+    ((a*h + b) mod 2^61−1) as a single matrix op, and reduces per-doc
+    minima with np.minimum.reduceat. The signature never exists in
+    exploded (doc × perm) form, and (unlike the earlier grouped design)
+    no (doc_id, h) stream is repartitioned — the min is duplicate-
+    invariant, so the global shingle distinct is skipped too.
 
-    Shingle hashing is JVM xxhash64; one shuffle groups a doc's shingle
-    hashes, then ALL n_hashes permutations ((a*h + b) mod 2^61−1) reduce
-    to the per-doc min inside one vectorized numpy matrix op — the
-    signature never exists in exploded (doc × perm) row form (an earlier
-    revision shuffled |shingles|×n_hashes rows; ~100M rows at 5k docs).
-
-    `shingle_hashes` (doc_id, h) lets a caller that already materialized
-    the shingle table (minhash_lsh_pairs reuses it for the exact-Jaccard
-    verify pass) avoid re-tokenizing + re-shingling the corpus.
+    `shingle_hashes` (doc_id, h — possibly with duplicates) runs the
+    grouped fallback for callers that already hold an exploded stream.
     """
     a_co, b_co = _minhash_coeffs(n_hashes)
-    sh = (
-        shingle_hashes
-        if shingle_hashes is not None
-        else shingles(corpus, n, id_col, text_col).select(
-            "doc_id", F.xxhash64("shingle").alias("h")
+
+    def _sig_rows(batches):
+        """Row-wise path: each input row carries one doc's shingle-hash
+        array; docs never straddle rows, so there is no carry."""
+        for pdf in batches:
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            arrs = [a for a, k in zip(arrs, keep) if k]
+            lens = lens[keep]
+            doc = pdf["doc_id"].to_numpy(np.int64)[keep]
+            flat = np.concatenate(arrs).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m = (flat[:, None] * a_co[None, :] + b_co[None, :]) % _MERSENNE
+            sigs = np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
+            yield pd.DataFrame({"doc_id": doc, "sig": list(sigs)})
+
+    if shingle_hashes is None:
+        toked = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(spark_tokens_expr(text_col)).alias("toks"),
         )
-    )
+        expr = (
+            f"case when size(toks) >= {n} then"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> xxhash64(array_join(slice(toks, i + 1, {n}), ' ')))"
+            f" else cast(array() as array<bigint>) end"
+        )
+        src = toked.select("doc_id", F.expr(expr).alias("hs"))
+        return src.mapInPandas(_sig_rows, "doc_id long, sig array<long>")
 
     def _sig_stream(batches):
-        """Grouped min via np.minimum.reduceat — zero per-group Python.
-        The stream is doc_id-sorted within partitions; the last (possibly
-        incomplete) doc of each Arrow batch is carried into the next."""
+        """Grouped fallback: doc_id-sorted (doc_id, h) stream; the last
+        (possibly incomplete) doc of each Arrow batch carries over."""
         carry_doc = carry_h = None
         for pdf in batches:
             doc = pdf["doc_id"].to_numpy(np.int64)
@@ -190,7 +249,7 @@ def minhash_signatures(
             )
 
     return (
-        sh.repartition("doc_id")
+        shingle_hashes.repartition("doc_id")
         .sortWithinPartitions("doc_id")
         .mapInPandas(_sig_stream, "doc_id long, sig array<long>")
     )
@@ -207,12 +266,25 @@ def _capped_bucket_pairs(
     hub, so connected-components dedup sees the same groups) while
     emitting O(bucket) instead of O(bucket²) pairs. Buckets at or under
     the cap are unaffected, so normal corpora produce identical output."""
+    # the banded table is consumed 3-5× below (bucket sizes + both join
+    # sides); without a materialization barrier Spark RECOMPUTES the whole
+    # upstream signature stage per consumer (measured 20 s vs 5 s at sf0.1)
     cols = [F.col(c) for c in bucket_cols]
     if max_bucket is None:
-        small, star = banded, None
+        small, star = banded.persist(), None
+        small.count()  # eager: both self-join sides read the cache
     else:
-        bsz = banded.groupBy(*cols).agg(F.count("*").alias("_bn"))
-        sized = banded.join(bsz, bucket_cols)
+        # bucket size via a window over the SAME partitioning the join
+        # needs — one shuffle, no extra aggregate+join round trip. The
+        # persist is EAGER: the self-join's two sides and the big-bucket
+        # branch otherwise race to compute the same partitions and the
+        # whole upstream (signature stage) runs 3-4× (measured 21 s vs
+        # 10 s at sf0.1).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*cols)
+        sized = banded.withColumn("_bn", F.count("*").over(w)).persist()
+        sized.count()
         small = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
         big = sized.filter(F.col("_bn") > max_bucket).drop("_bn")
         hubs = big.groupBy(*cols).agg(F.min("doc_id").alias("_hub"))
@@ -253,12 +325,8 @@ def minhash_lsh_pairs(
     star-linked (see _capped_bucket_pairs) instead of self-joined.
     """
     rows_per_band = n_hashes // bands
-    sh = shingles(corpus, n, id_col, text_col).persist()
-    sigs = minhash_signatures(
-        None,
-        n_hashes,
-        shingle_hashes=sh.select("doc_id", F.xxhash64("shingle").alias("h")),
-    )
+    # zero-shuffle signature path (per-row arrays, map-side minima)
+    sigs = minhash_signatures(corpus, n_hashes, n, id_col, text_col)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -268,16 +336,23 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    cand = _capped_bucket_pairs(banded, ["band", "band_hash"], max_bucket)
+    cand = _capped_bucket_pairs(banded, ["band", "band_hash"], max_bucket).persist()
+    cand.count()  # eager (see _capped_bucket_pairs)
     # exact Jaccard verification restricted to the LSH candidates — never
-    # the all-pairs computation (that's the whole point of LSH)
+    # the all-pairs computation (that's the whole point of LSH); the
+    # distinct runs on the candidates' slice only
     needed = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b"))
     ).distinct()
-    sh_c = sh.join(needed, "doc_id", "semi").cache()
+    sh_c = (
+        shingle_hashes(corpus, n, id_col, text_col, distinct=False)
+        .join(needed, "doc_id", "semi")
+        .distinct()
+        .cache()
+    )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh_c.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
-    sb = sh_c.select(F.col("doc_id").alias("db"), F.col("shingle").alias("sh_b"))
+    sa = sh_c.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("sh_a"))
+    sb = sh_c.select(F.col("doc_id").alias("db"), F.col("h").alias("sh_b"))
     common = (
         cand.join(sa, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
