@@ -1,0 +1,221 @@
+"""Long-lived serving layer — sub-millisecond-class queries over the
+Spark-built index, no Spark session in the loop.
+
+The reference is ultimately a SERVER (`/root/reference/src/main/server.c`:
+a long-lived process holding header blocks and an LRU of data blocks,
+`src/main/server.h:214-313`). The Spark engine covers the batch plane
+(one DataFrame job per query batch — throughput), but a single
+interactive query there pays ~0.3-1 s of job scheduling + Python-worker
+round trips regardless of data size. This module is the serving plane:
+
+    searcher = LocalSearcher(index_dir)      # once, process lifetime
+    searcher.search("data table", k=10)      # ~1-10 ms warm
+
+* the index layout is plain bucket-partitioned Parquet, so a pyarrow
+  dataset reads it directly — bucket partition pruning and term_hash
+  row-group stats give the same block-skipping the Spark scan gets;
+* term posting rows decode once and live in an LRU keyed by term_hash
+  (FEMTO's block cache, server.h:236-249); term stats memoize unboundedly
+  (FEMTO's header cache — they are 24 bytes/term);
+* scoring reuses the exact same float64 op order as the Spark engine and
+  the DuckDB oracle (idf·(num/den), ascending-term fold, half-up 1e-6
+  rounding) — results are RANK-IDENTICAL to engine.search / the oracle
+  (tests/test_serving.py), and the WAND path reuses query/wand.py
+  verbatim.
+
+At scale the searcher runs behind any stateless HTTP/RPC front; each
+replica holds its own cache, the parquet index is immutable + versioned
+(snapshots.json), so replicas need no coordination.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from .codec import decode_postings
+from .scoring import B, K1
+from .tokenizer import tokenize
+from .xxhash import xxhash64
+
+_ROW_COLS = [
+    "term_hash", "n", "cf", "tf_off", "dl_off", "block_last_doc",
+    "block_max_tf", "block_min_dl", "block_gap_off", "block_tf_off",
+    "block_dl_off", "postings",
+]
+
+
+def _thash(term: str) -> int:
+    return xxhash64(term.encode("utf-8"))
+
+
+class LocalSearcher:
+    """Process-resident reader over an index directory (no Spark)."""
+
+    def __init__(self, index_dir: str, cache_terms: int = 4096):
+        import pyarrow.dataset as pads
+
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.n_buckets = int(self.stats["n_buckets"])
+        self._ix = pads.dataset(
+            os.path.join(index_dir, "index"), partitioning="hive"
+        )
+        self._ts = pads.dataset(os.path.join(index_dir, "termstats"))
+        self._stats_cache: dict[int, tuple[int, int]] = {}
+        self._row_cache: OrderedDict[int, list[dict]] = OrderedDict()
+        self._cache_terms = cache_terms
+
+    # -- header plane (term stats) ---------------------------------------
+
+    def _term_stats(self, hashes: list[int]) -> dict[int, tuple[int, int]]:
+        import pyarrow.dataset as pads
+
+        missing = [h for h in hashes if h not in self._stats_cache]
+        if missing:
+            t = self._ts.to_table(
+                columns=["term_hash", "df", "cf"],
+                filter=pads.field("term_hash").isin(missing),
+            )
+            got = {
+                int(h): (int(d), int(c))
+                for h, d, c in zip(
+                    t["term_hash"].to_pylist(),
+                    t["df"].to_pylist(),
+                    t["cf"].to_pylist(),
+                )
+            }
+            for h in missing:
+                self._stats_cache[h] = got.get(h, (0, 0))
+        return {h: self._stats_cache[h] for h in hashes}
+
+    # -- data plane (posting rows, LRU-cached) ----------------------------
+
+    def _rows(self, hashes: list[int]) -> dict[int, list[dict]]:
+        import pyarrow.dataset as pads
+
+        out: dict[int, list[dict]] = {}
+        missing = []
+        for h in hashes:
+            if h in self._row_cache:
+                self._row_cache.move_to_end(h)
+                out[h] = self._row_cache[h]
+            else:
+                missing.append(h)
+        if missing:
+            buckets = sorted({h % self.n_buckets for h in missing})
+            t = self._ix.to_table(
+                columns=_ROW_COLS,
+                filter=pads.field("bucket").isin(buckets)
+                & pads.field("term_hash").isin(missing),
+            )
+            rows = t.to_pylist()
+            grouped: dict[int, list[dict]] = {h: [] for h in missing}
+            for r in rows:
+                grouped[int(r["term_hash"])].append(r)
+            for h, rs in grouped.items():
+                self._row_cache[h] = rs
+                out[h] = rs
+            while len(self._row_cache) > self._cache_terms:
+                self._row_cache.popitem(last=False)
+        return out
+
+    def _decoded(self, h: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc, tf, dl) across the term's shards, doc-sorted."""
+        parts = [
+            decode_postings(bytes(r["postings"]), r["n"], r["tf_off"], r["dl_off"])
+            for r in self._rows([h])[h]
+        ]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        doc = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dl = np.concatenate([p[2] for p in parts])
+        order = np.argsort(doc, kind="stable")  # shards are doc-disjoint
+        return doc[order], tf[order], dl[order]
+
+    # -- queries -----------------------------------------------------------
+
+    def count(self, term: str) -> list[tuple[str, int, int]]:
+        """[(term, n_docs, n_occurrences)] — header lookup only."""
+        terms = sorted(set(tokenize(term)))
+        st = self._term_stats([_thash(t) for t in terms])
+        return [
+            (t, st[_thash(t)][0], st[_thash(t)][1])
+            for t in terms
+            if st[_thash(t)][0] > 0
+        ]
+
+    def search(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        """Exact BM25 top-k, rank-identical to SearchEngine.search: per-term
+        float64 scores, per-doc fold in ascending term order, half-up 1e-6
+        rounding, (score desc, doc asc) ties."""
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return []
+        hashes = [_thash(t) for t in terms]
+        st = self._term_stats(hashes)
+        # ascending-term accumulation over the union doc set
+        per_term = []
+        for t, h in zip(terms, hashes):
+            df = st[h][0]
+            if df == 0:
+                per_term.append(None)
+                continue
+            doc, tf, dl = self._decoded(h)
+            idf = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            num = tf.astype(np.float64) * (K1 + 1.0)
+            den = tf.astype(np.float64) + K1 * (
+                1.0 - B + B * dl.astype(np.float64) / self.avgdl
+            )
+            per_term.append((doc, idf * (num / den)))
+        alive = [p for p in per_term if p is not None]
+        if not alive:
+            return []
+        union = np.unique(np.concatenate([p[0] for p in alive]))
+        acc = np.zeros(union.size, dtype=np.float64)
+        hit = np.zeros(union.size, dtype=np.int64)
+        for p in alive:  # terms already ascending — same fold order
+            idx = np.searchsorted(union, p[0])
+            acc[idx] += p[1]
+            hit[idx] += 1
+        if mode == "and":
+            m = hit == len(terms)
+            union, acc = union[m], acc[m]
+        score = np.floor(acc * 1e6 + 0.5) / 1e6
+        order = np.lexsort((union, -score))[:k]
+        return [(int(union[i]), float(score[i])) for i in order]
+
+    def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Block-max WAND top-k — reuses query/wand.py on the cached rows;
+        rank-identical to search() (the engine's 21-case equivalence)."""
+        from .query.wand import wand_topk
+
+        terms = sorted(set(tokenize(query)))
+        if not terms:
+            return []
+        hashes = [_thash(t) for t in terms]
+        st = self._term_stats(hashes)
+        names = {h: t for t, h in zip(terms, hashes)}
+        rows = self._rows([h for h in hashes if st[h][0] > 0])
+        trs = []
+        for h, rs in rows.items():
+            for r in rs:
+                trs.append({**r, "term": names[h], "df": st[h][0]})
+        if not trs:
+            return []
+        d, s = wand_topk(trs, k, self.n_docs, self.avgdl)
+        return [(int(a), float(b)) for a, b in zip(d, s)]
+
+    def search_many(
+        self, queries: dict[str, str], k: int = 10, wand: bool = True
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Batch form; the LRU makes repeated terms free."""
+        fn = self.search_wand if wand else self.search
+        return {qid: fn(q, k) for qid, q in queries.items()}

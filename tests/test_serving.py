@@ -1,0 +1,57 @@
+"""Serving plane: LocalSearcher (pyarrow, no Spark) must be rank-identical
+to the Spark engine and the pure-Python oracle, and answer warm queries in
+milliseconds (the reference's long-lived server role, server.c)."""
+
+import time
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def searcher(index_dir):
+    from femto_spark.serving import LocalSearcher
+
+    return LocalSearcher(index_dir)
+
+
+QUERIES = [
+    "the",
+    "data table",
+    "data table scan",
+    "merge fast slow",
+    "zzznope",
+    "the data merge value spark",
+]
+
+
+def test_search_rank_identical_to_oracle(searcher, oracle_sf001):
+    for q in QUERIES:
+        assert searcher.search(q, k=10) == oracle_sf001.search(q, k=10), q
+        assert searcher.search(q, k=10, mode="and") == oracle_sf001.search(
+            q, k=10, mode="and"
+        ), q
+
+
+def test_wand_equals_exact(searcher):
+    for q in QUERIES:
+        assert searcher.search_wand(q, k=10) == searcher.search(q, k=10), q
+
+
+def test_count_matches_oracle(searcher, oracle_sf001):
+    got = searcher.count("the data merge zzznope")
+    for term, n_docs, n_occ in got:
+        occ, docs = oracle_sf001.count(term)
+        assert (n_occ, n_docs) == (occ, docs), term
+
+
+def test_batch_and_cache(searcher):
+    batch = {f"q{i}": QUERIES[i % len(QUERIES)] for i in range(20)}
+    out = searcher.search_many(batch, k=5)
+    assert len(out) == 20
+    # warm single-query latency: milliseconds-class, not Spark-job-class
+    searcher.search("data table scan", k=10)
+    t0 = time.time()
+    for _ in range(20):
+        searcher.search("data table scan", k=10)
+    per_query = (time.time() - t0) / 20
+    assert per_query < 0.05, f"warm serving query took {per_query * 1e3:.1f} ms"
