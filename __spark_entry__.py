@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "(APPROX 1 tabl) AND (data OR sc.n)"
     )
     q["fts_extend"] = lambda s, d: _engine(s, d).extend("s", limit=10)
+    q["fts_extend_left"] = lambda s, d: _engine(s, d).extend(
+        "e", limit=10, direction="left"
+    )
+    q["fts_suggest"] = lambda s, d: _engine(s, d).suggest("mergq", limit=10)
     q["fts_query_language"] = lambda s, d: _engine(s, d).query(
         "(data OR table) NOT scan"
     )
@@ -442,6 +446,24 @@ JOIN docs_tok2 d ON d.doc_id = topk.doc_id"""
     o["fts_extend"] = f"""{_BASE}
 SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10"""
+
+    o["fts_extend_left"] = f"""{_BASE}
+SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term LIKE '%e'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10"""
+
+    # longest non-empty prefix of 'mergq' with vocabulary extensions
+    _sg_prefixes = ",".join(
+        f"('{'mergq'[:i]}',{i})" for i in range(1, 6)
+    )
+    o["fts_suggest"] = f"""{_BASE},
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+pref AS (SELECT * FROM (VALUES {_sg_prefixes}) p(pre, ln)),
+hit AS (SELECT p.pre, p.ln FROM pref p
+        WHERE EXISTS (SELECT 1 FROM dfs v WHERE v.term LIKE p.pre || '%')),
+best AS (SELECT pre FROM hit ORDER BY ln DESC LIMIT 1)
+SELECT term, df, (SELECT pre FROM best) AS matched_prefix
+FROM dfs WHERE term LIKE (SELECT pre FROM best) || '%'
+ORDER BY df DESC, term ASC LIMIT 10"""
 
     o["fts_extract_doc"] = "SELECT doc_id, text FROM documents WHERE doc_id = 3"
 

@@ -882,14 +882,66 @@ class SearchEngine:
             raise ValueError("engine was built without a corpus DataFrame")
         return self.corpus.filter(F.col(self.id_col).isin(doc_ids))
 
-    def extend(self, prefix: str, limit: int = 10) -> DataFrame:
-        """string_rows_right / femto_common analogue: terms extending a
-        prefix ranked by document frequency (vocab ⋈ termstats)."""
+    def extend(
+        self, fragment: str, limit: int = 10, direction: str = "right"
+    ) -> DataFrame:
+        """string_rows_right/left analogue (`src/main/server.c`
+        string_rows requests; femto_common walks both directions): terms
+        extending a fragment ranked by document frequency.
+
+        direction='right' → fragment is a prefix (terms extending to the
+        right), 'left' → a suffix (left-extension), 'both' → an infix.
+        Left/both are gram-pruned through the char-3-gram table before
+        the string comparison — no full vocab scan."""
         vocab = self.spark.read.parquet(self._vocab_path)
+        if direction == "right":
+            cand = vocab.filter(F.col("term").startswith(fragment))
+        else:
+            from ..index.ngram import ensure_vocab_ngrams, prune_terms_by_grams
+
+            ngrams = ensure_vocab_ngrams(self.spark, self.index_dir)
+            pruned = prune_terms_by_grams(
+                vocab, ngrams, fragment, suffix_anchor=(direction == "left")
+            )
+            base = pruned if pruned is not None else vocab
+            if direction == "left":
+                cand = base.filter(F.col("term").endswith(fragment))
+            elif direction == "both":
+                cand = base.filter(F.col("term").contains(fragment))
+            else:
+                raise ValueError(direction)
         return (
-            vocab.filter(F.col("term").startswith(prefix))
-            .join(self._termstats, "term_hash")
+            cand.join(self._termstats, "term_hash")
             .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(limit)
+        )
+
+    def suggest(self, probe: str, limit: int = 10) -> DataFrame:
+        """'Did you mean' — the reference retains the last NON-EMPTY range
+        while backward search narrows (`src/main/server.h:309-313`,
+        search_tool.cc:758-791) and reports its extensions. Posting-list
+        form: the longest prefix of `probe` that any vocabulary term
+        starts with, and that prefix's top-df extensions. One vocab scan:
+        match length is computed per term in a single JVM CASE chain,
+        the max match length (tiny agg) selects the retained prefix."""
+        probe = probe.lower()
+        if not probe:
+            return self.spark.createDataFrame([], "term string, df long, matched_prefix string")
+        vocab = self.spark.read.parquet(self._vocab_path)
+        cands = vocab.filter(F.col("term").startswith(probe[0]))
+        whens = " ".join(
+            f"WHEN term LIKE '{probe[:i]}%' THEN {i}"
+            for i in range(len(probe), 0, -1)
+        )
+        scored = cands.withColumn("mlen", F.expr(f"CASE {whens} ELSE 0 END"))
+        best = scored.agg(F.max("mlen")).collect()[0][0]
+        if not best:
+            return self.spark.createDataFrame([], "term string, df long, matched_prefix string")
+        return (
+            scored.filter(F.col("mlen") == best)
+            .join(self._termstats, "term_hash")
+            .select("term", "df", F.lit(probe[:best]).alias("matched_prefix"))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(limit)
         )

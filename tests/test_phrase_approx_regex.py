@@ -113,3 +113,31 @@ def test_query_grammar_mixed_atoms(engine, oracle_sf001):
         want = sorted(eval_with_oracle(oracle_sf001, parse_query(q)))
         got = [r["doc_id"] for r in engine.query(q).collect()]
         assert got == want, q
+
+
+def test_extend_left_and_suggest(engine, oracle_sf001):
+    vocab = {t: len(p) for t, p in oracle_sf001.postings.items()}
+    got = [(r["term"], r["df"]) for r in engine.extend("e", 10, direction="left").collect()]
+    want = sorted(
+        ((t, df) for t, df in vocab.items() if t.endswith("e")),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want
+    got_b = {r["term"] for r in engine.extend("erg", 10, direction="both").collect()}
+    assert got_b == {t for t in vocab if "erg" in t}
+
+    # prefix fallback: 'mergq' has no match, 'merg' does
+    rows = engine.suggest("mergq", 10).collect()
+    assert rows and all(r["matched_prefix"] == "merg" for r in rows)
+    assert {r["term"] for r in rows} == {t for t in vocab if t.startswith("merg")}
+    # a probe that IS a term keeps the full prefix
+    rows2 = engine.suggest("merge", 10).collect()
+    assert rows2[0]["matched_prefix"] == "merge"
+    # no match at all (no term starts with the probe's first char) → empty
+    first_chars = {t[0] for t in vocab}
+    dead = next(c for c in "0123456789zyx" if c not in first_chars)
+    assert engine.suggest(dead * 3, 10).count() == 0
+    # single-char fallback: probe shares only its first char with vocab
+    ch = next(iter(first_chars))
+    rows3 = engine.suggest(ch + "000", 10).collect()
+    assert rows3 and all(r["matched_prefix"] == ch for r in rows3)
