@@ -114,7 +114,10 @@ def _engine(spark: SparkSession, sf_dir: str):
             ok = False
         if not ok:
             _shutil.rmtree(out, ignore_errors=True)
-    build_index(spark, corpus, out, n_buckets=16, resume=True)
+    build_index(
+        spark, corpus, out, n_buckets=16, resume=True,
+        field_cols=["lang", "source"],
+    )
     eng = SearchEngine(spark, out, corpus=corpus)
     _ENGINES[key] = eng
     return eng
@@ -150,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_count_terms"] = lambda s, d: _engine(s, d).count(" ".join(_PROBE_TERMS))
     q["fts_bm25_top10"] = lambda s, d: _engine(s, d).search(_Q_OR, k=10)
     q["fts_bm25_and_top10"] = lambda s, d: _engine(s, d).search(_Q_AND, k=10, mode="and")
+    # fielded search: metadata header sections filter the result set
+    q["fts_bm25_filtered"] = lambda s, d: _engine(s, d).search(
+        _Q_OR, k=10, where={"lang": "en"}
+    )
     q["fts_bool_and"] = lambda s, d: _engine(s, d).boolean_docs("and", "data", "table")
     q["fts_bool_or"] = lambda s, d: _engine(s, d).boolean_docs("or", "data", "table")
     q["fts_bool_not"] = lambda s, d: _engine(s, d).boolean_docs("not", "data", "table")
@@ -347,6 +354,20 @@ FROM tok WHERE term IN ({_sql_terms(_PROBE_TERMS)}) GROUP BY term"""
 
     o["fts_bm25_top10"] = _bm25_sql(sorted(set(_Q_OR.split())), 10, "or")
     o["fts_bm25_and_top10"] = _bm25_sql(sorted(set(_Q_AND.split())), 10, "and")
+
+    # fielded filter: restricts the RESULT set; BM25 stats stay global
+    _sc_f = duckdb_score_sql("tf.tf", "dl.dl", "dfc.df", "st.n", "st.avgdl")
+    _tm_f = _sql_terms(sorted(set(_Q_OR.split())))
+    o["fts_bm25_filtered"] = f"""{_BASE},
+tf  AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN ({_tm_f}) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc  AS (SELECT tf.doc_id, tf.term, CAST({_sc_f} AS DOUBLE) AS s
+        FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s ORDER BY term) AS raw FROM sc GROUP BY doc_id)
+SELECT agg.doc_id AS doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+FROM agg JOIN documents d ON d.doc_id = agg.doc_id AND d.lang = 'en'
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     o["fts_bool_and"] = f"""{_BASE}
 SELECT doc_id FROM ({_docset_sql(['data'])}) INTERSECT {_docset_sql(['table'])}"""

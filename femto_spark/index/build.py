@@ -73,7 +73,7 @@ from ..codec import (
 from ..tokenizer import spark_tokens_expr
 
 # bump when the on-disk layout changes; readers refuse older layouts
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4  # v4: docs/ carries indexed metadata field columns
 
 # ---------------------------------------------------------------------------
 # schemas
@@ -317,10 +317,13 @@ def build_index(
     n_partitions: int | None = None,
     resume: bool = False,
     with_positions: bool = True,
+    field_cols: list[str] | None = None,
 ) -> dict:
     """Build the full index layout under `out_dir`:
 
-        docs/       doc_id, dl                      (BM25 |d|; extract joins)
+        docs/       doc_id, dl [, field_cols...]    (BM25 |d|; extract joins;
+                    indexed metadata fields — FEMTO's doc header sections,
+                    block_format.txt:1-15 — queryable via search(where=...))
         stats.json  n_docs, avgdl, range_shift, ... (FEMTO header C[] analogue)
         vocab/      term_hash, term                 (for extend/reporting)
         partials/   stage-1 map-side runs           (checkpoint for resume)
@@ -357,7 +360,20 @@ def build_index(
     if _stage("docs"):
         t0 = time.time()
         _fresh(docs_path)
-        doc_lens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
+        if field_cols:
+            # indexed metadata fields ride along in the docs table — one
+            # extra projection, zero extra shuffles; queries filter on
+            # them with a semi-join (FEMTO's header-section analogue)
+            fields = corpus.select(
+                F.col(id_col).alias("doc_id"), *[F.col(c) for c in field_cols]
+            )
+            doc_lens = (
+                toks.select("doc_id", F.size("tokens").alias("dl"))
+                .join(fields, "doc_id")
+                .persist()
+            )
+        else:
+            doc_lens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
         doc_lens.write.mode("overwrite").parquet(docs_path)
         stats_row = doc_lens.agg(
             F.count("*").alias("n_docs"),
@@ -374,6 +390,7 @@ def build_index(
             "n_buckets": n_buckets,
             "range_shift": range_shift,
             "with_positions": with_positions,
+            "field_cols": list(field_cols or []),
             "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:

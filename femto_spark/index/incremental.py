@@ -168,8 +168,18 @@ def merge_into(
     os.rename(tmp_vocab, vocab_path)
     _commit(index_dir, "vocab", {"appended": True})
 
-    # 2. append doc lens, recompute global stats
-    _append(toks.select("doc_id", F.size("tokens").alias("dl")), docs_path)
+    # 2. append doc lens (+ the index's metadata field columns — the docs
+    # table schema must stay uniform across appends), recompute stats
+    doc_rows = toks.select("doc_id", F.size("tokens").alias("dl"))
+    fields = stats.get("field_cols") or []
+    if fields:
+        doc_rows = doc_rows.join(
+            new_corpus.select(
+                F.col(id_col).alias("doc_id"), *[F.col(c) for c in fields]
+            ),
+            "doc_id",
+        )
+    _append(doc_rows, docs_path)
     srow = (
         spark.read.parquet(docs_path)
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tt"))

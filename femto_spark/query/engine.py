@@ -348,10 +348,23 @@ class SearchEngine:
     # BM25 top-k search (north-rule core)                                 #
     # ------------------------------------------------------------------ #
 
-    def search(self, query: str, k: int = 10, mode: str = "or") -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        where: dict | None = None,
+    ) -> DataFrame:
         """Top-k (doc_id, score), deterministic: score computed per term in
         numpy, summed JVM-side in ascending-term order, rounded half-up to
-        6 decimals, tie-broken by doc_id asc."""
+        6 decimals, tie-broken by doc_id asc.
+
+        `where` filters on the index's metadata field columns (docs/ —
+        FEMTO's indexed header sections, block_format.txt:1-15; the index
+        must have been built with field_cols): {"lang": "en"} or
+        {"lang": ["en", "de"]}. The filter restricts the RESULT set
+        (semi-join before top-k); BM25 stats stay corpus-global, like the
+        reference's."""
         terms = sorted(set(tokenize(query)))
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -365,6 +378,15 @@ class SearchEngine:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_terms") == len(terms))
+        if where:
+            keep = self._docs
+            for c, v in where.items():
+                keep = keep.filter(
+                    F.col(c).isin(list(v))
+                    if isinstance(v, (list, tuple, set))
+                    else F.col(c) == v
+                )
+            agg = agg.join(keep.select("doc_id"), "doc_id", "semi")
         return (
             agg.select(
                 "doc_id",

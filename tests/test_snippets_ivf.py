@@ -59,3 +59,43 @@ def test_ivf_deterministic(spark):
     a = train_ivf_centroids(embs, 8)
     b = train_ivf_centroids(embs, 8)
     assert np.array_equal(a, b)
+
+
+def test_fielded_search_filter(spark, tmp_path, docs_sf001, oracle_sf001):
+    """search(where={...}) filters on indexed metadata fields (FEMTO doc
+    header sections): result = global-stats BM25 restricted to the field
+    match — and incremental append preserves the field columns."""
+    from pyspark.sql import functions as F
+
+    from femto_spark.index import build_index
+    from femto_spark.index.incremental import merge_into
+    from femto_spark.query import SearchEngine
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "fielded")
+    build_index(
+        spark, corpus.filter(F.col("doc_id") < 400), out, n_buckets=8,
+        field_cols=["lang", "source"],
+    )
+    merge_into(spark, out, corpus.filter(F.col("doc_id") >= 400))
+    eng = SearchEngine(spark, out, corpus=corpus)
+
+    langs = {
+        r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()
+    }
+    got = [(r["doc_id"], r["score"]) for r in eng.search(
+        "data table scan", k=10, where={"lang": "en"}
+    ).collect()]
+    want = [
+        (d, s) for d, s in oracle_sf001.search("data table scan", k=10**9)
+        if langs[d] == "en"
+    ][:10]
+    assert got == want
+    # multi-value filter
+    got2 = {r["doc_id"] for r in eng.search(
+        "data", k=10**9, where={"lang": ["en", "de"]}
+    ).collect()}
+    assert got2 == {
+        d for d, _ in oracle_sf001.search("data", k=10**9)
+        if langs[d] in ("en", "de")
+    }
