@@ -662,52 +662,42 @@ class SearchEngine:
     def phrase(self, query: str) -> DataFrame:
         """Exact phrase search — (doc_id, n_matches, first_pos). The
         positions-payload composition FEMTO gets from its suffix structure
-        for free; here: per-doc intersection of shifted position lists,
-        vectorized with searchsorted (no per-position Python)."""
+        for free; here it is the generalized-phrase ANCHOR plan (shared
+        with infix search): every occurrence of slot-j's term at position
+        p contributes anchor = p − j, and a phrase match at anchor a is
+        exactly 'all k+1 slots present at a' — one explode, one broadcast
+        slot join, one groupBy. No per-doc Python at all (the earlier
+        per-doc searchsorted loop was the last Python loop on the query
+        plane)."""
         terms = tokenize(query)
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id long, n_matches long, first_pos long"
             )
         uniq = sorted(set(terms))
-        p = self.postings_with_positions(uniq)
-        # per doc: list of (term order index, positions)
-        rows = p.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("term", "positions"))
-            ).alias("posmap")
+        slots = self.spark.createDataFrame(
+            [(t, j) for j, t in enumerate(terms)], "term string, slot int"
         )
-        seq = list(terms)
-
-        def _match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                docs, counts, firsts = [], [], []
-                for r in pdf.itertuples(index=False):
-                    pm = r.posmap
-                    if any(t not in pm for t in seq):
-                        continue
-                    starts = np.asarray(pm[seq[0]], dtype=np.int64)
-                    ok = starts
-                    for i, t in enumerate(seq[1:], 1):
-                        nxt = np.asarray(pm[t], dtype=np.int64)
-                        idx = np.searchsorted(nxt, ok + i)
-                        idx_ok = idx < nxt.size
-                        keep = np.zeros(ok.size, dtype=bool)
-                        keep[idx_ok] = nxt[idx[idx_ok]] == ok[idx_ok] + i
-                        ok = ok[keep]
-                        if ok.size == 0:
-                            break
-                    if ok.size:
-                        docs.append(r.doc_id)
-                        counts.append(int(ok.size))
-                        firsts.append(int(ok.min()))
-                yield pd.DataFrame(
-                    {"doc_id": docs, "n_matches": counts, "first_pos": firsts}
-                )
-
-        return rows.mapInPandas(
-            _match, "doc_id long, n_matches long, first_pos long"
-        ).orderBy("doc_id")
+        occ = self.postings_with_positions(uniq).select(
+            "term", "doc_id", F.explode("positions").alias("pos")
+        )
+        anchored = occ.join(F.broadcast(slots), "term").select(
+            "doc_id", (F.col("pos") - F.col("slot")).alias("anchor"), "slot"
+        )
+        hits = (
+            anchored.filter(F.col("anchor") >= 0)
+            .groupBy("doc_id", "anchor")
+            .agg(F.countDistinct("slot").alias("ns"))
+            .filter(F.col("ns") == len(terms))
+        )
+        return (
+            hits.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_matches"),
+                F.min("anchor").alias("first_pos"),
+            )
+            .orderBy("doc_id")
+        )
 
     def _vocab_pruned(self, fragment: str, max_missing: int = 0) -> DataFrame:
         """Vocab rows gram-pruned by a literal fragment (lossless; see
