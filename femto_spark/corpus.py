@@ -197,3 +197,52 @@ def pages_dataframe(spark, n_rows: int, seed: int = 42):
         ]
     )
     return spark.createDataFrame(generate_pages(n_rows, seed), schema)
+
+
+# ---------------------------------------------------------------------------
+# Additional source readers — the reference's its_* pluggable readers
+# ---------------------------------------------------------------------------
+
+
+def read_fasta(spark, path: str):
+    """FASTA reader — the reference ships one as a pluggable reader
+    (`/root/reference/src/dcx_cc/index_tool_support_files.c`,
+    femto_index accepts FASTA inputs). Spark-native form: `spark.read.text`
+    with record separator '>' splits the file into one row per sequence
+    (scales to any file count; splittable by record). Returns
+    (seq_id string, description string, sequence string): seq_id = first
+    token of the header line, sequence = concatenated residue lines
+    (whitespace stripped), matching how the reference glues sequence
+    bodies into one indexable document."""
+    from pyspark.sql import functions as F
+
+    recs = spark.read.text(path, lineSep=">").filter(F.col("value") != "")
+    header = F.split(F.col("value"), "\n", 2)
+    hsplit = F.split(F.col("header"), r"\s+", 2)
+    return (
+        recs.select(
+            F.trim(F.get(header, 0)).alias("header"),
+            F.regexp_replace(
+                F.coalesce(F.get(header, 1), F.lit("")), r"\s+", ""
+            ).alias("sequence"),
+        )
+        .select(
+            F.get(hsplit, 0).alias("seq_id"),
+            F.coalesce(F.get(hsplit, 1), F.lit("")).alias("description"),
+            "sequence",
+        )
+        .filter(F.col("seq_id") != "")
+    )
+
+
+def read_zero_delimited(spark, path: str):
+    """NUL-delimited reader — the reference's zero-terminated records
+    format (its_*: one document per \\x00-separated span). One row per
+    record: (record string); empty trailing records dropped."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path, lineSep="\x00")
+        .filter(F.col("value") != "")
+        .withColumnRenamed("value", "record")
+    )

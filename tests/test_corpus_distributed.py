@@ -31,3 +31,26 @@ def test_distributed_generator_seed_sensitivity(spark):
     ta = {r["doc_id"]: r["text"] for r in a}
     tb = {r["doc_id"]: r["text"] for r in b}
     assert any(ta[i] != tb[i] for i in ta)
+
+
+def test_read_fasta_and_zero_delimited(spark, tmp_path):
+    fasta = tmp_path / "seqs.fa"
+    fasta.write_text(
+        ">seq1 first sequence\nACGT\nACGT\n>seq2\nTTTT\n>seq3 third one\nGG\nGG\nGG\n"
+    )
+    from femto_spark.corpus import read_fasta, read_zero_delimited
+
+    rows = {
+        r["seq_id"]: (r["description"], r["sequence"])
+        for r in read_fasta(spark, str(fasta)).collect()
+    }
+    assert rows == {
+        "seq1": ("first sequence", "ACGTACGT"),
+        "seq2": ("", "TTTT"),
+        "seq3": ("third one", "GGGGGG"),
+    }
+
+    zpath = tmp_path / "recs.bin"
+    zpath.write_bytes(b"alpha doc\x00beta doc\x00\x00gamma\x00")
+    recs = [r["record"] for r in read_zero_delimited(spark, str(zpath)).collect()]
+    assert sorted(recs) == ["alpha doc", "beta doc", "gamma"]
