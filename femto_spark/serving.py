@@ -67,9 +67,26 @@ class LocalSearcher:
             os.path.join(index_dir, "index"), partitioning="hive"
         )
         self._ts = pads.dataset(os.path.join(index_dir, "termstats"))
+        self._docs_ds = pads.dataset(os.path.join(index_dir, "docs"))
         self._stats_cache: dict[int, tuple[int, int]] = {}
         self._row_cache: OrderedDict[int, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
+
+    def _doc_filter(self, where: dict) -> np.ndarray:
+        """Sorted doc_ids matching a metadata-field filter (the index must
+        have been built with field_cols) — one pushdown-filtered docs read."""
+        import pyarrow.dataset as pads
+
+        expr = None
+        for c, v in where.items():
+            e = (
+                pads.field(c).isin(list(v))
+                if isinstance(v, (list, tuple, set))
+                else pads.field(c) == v
+            )
+            expr = e if expr is None else expr & e
+        t = self._docs_ds.to_table(columns=["doc_id"], filter=expr)
+        return np.sort(np.asarray(t["doc_id"].to_numpy(), dtype=np.int64))
 
     # -- header plane (term stats) ---------------------------------------
 
@@ -152,10 +169,17 @@ class LocalSearcher:
             if st[_thash(t)][0] > 0
         ]
 
-    def search(self, query: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        where: dict | None = None,
+    ) -> list[tuple[int, float]]:
         """Exact BM25 top-k, rank-identical to SearchEngine.search: per-term
         float64 scores, per-doc fold in ascending term order, half-up 1e-6
-        rounding, (score desc, doc asc) ties."""
+        rounding, (score desc, doc asc) ties. `where` filters the result
+        set on indexed metadata fields (same semantics as the engine)."""
         terms = sorted(set(tokenize(query)))
         if not terms:
             return []
@@ -187,6 +211,10 @@ class LocalSearcher:
             hit[idx] += 1
         if mode == "and":
             m = hit == len(terms)
+            union, acc = union[m], acc[m]
+        if where:
+            allowed = self._doc_filter(where)
+            m = np.isin(union, allowed)
             union, acc = union[m], acc[m]
         score = np.floor(acc * 1e6 + 0.5) / 1e6
         order = np.lexsort((union, -score))[:k]

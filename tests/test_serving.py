@@ -55,3 +55,24 @@ def test_batch_and_cache(searcher):
         searcher.search("data table scan", k=10)
     per_query = (time.time() - t0) / 20
     assert per_query < 0.05, f"warm serving query took {per_query * 1e3:.1f} ms"
+
+
+def test_fielded_where_filter(spark, tmp_path, docs_sf001, oracle_sf001):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from femto_spark.index import build_index
+    from femto_spark.serving import LocalSearcher
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "serve_fielded")
+    build_index(spark, corpus, out, n_buckets=8, field_cols=["lang"])
+    s = LocalSearcher(out)
+    langs = {
+        r["doc_id"]: r["lang"] for r in corpus.select("doc_id", "lang").collect()
+    }
+    got = s.search("data table scan", k=10, where={"lang": "en"})
+    want = [
+        (d, sc) for d, sc in oracle_sf001.search("data table scan", k=10**9)
+        if langs[d] == "en"
+    ][:10]
+    assert got == want
