@@ -387,14 +387,14 @@ class SearchEngine:
                     else F.col(c) == v
                 )
             agg = agg.join(keep.select("doc_id"), "doc_id", "semi")
-        return (
-            agg.select(
-                "doc_id",
-                F.expr("floor(raw_score * 1e6 + 0.5) / 1e6").alias("score"),
-            )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        out = agg.select(
+            "doc_id",
+            F.expr("floor(raw_score * 1e6 + 0.5) / 1e6").alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        # guard: TakeOrderedAndProject allocates a k-sized heap PER TASK —
+        # k=10^9 (a "give me everything" caller) would OOM the executor;
+        # past n_docs a plain global sort returns the same rows
+        return out.limit(k) if k < self.n_docs else out
 
     # -- block-max WAND path (skip-decode; rank-identical to search()) ----
 

@@ -10,11 +10,16 @@ engine indexes the tokenized stream, so the equivalent contract here is:
     (exactly the sequence the index stores), touching only the vocab,
     the gram table, and the matched terms' postings — never the corpus.
 
-Supported pattern subset: literal [a-z0-9] chars, literal spaces, and '.'
-(any single character — including the inter-token space, as in POSIX).
-This covers the reference's headline use (arbitrary infix literals that
-cross token boundaries, e.g. 'erge fas' matching "...merge fast...") plus
-single-wildcard regexes; richer ERE falls back to the scan path.
+Supported pattern subset: literal [a-z0-9] chars, literal spaces, '.'
+(any single character — including the inter-token space, as in POSIX),
+character classes `[abc]`/`[a-f0-3]` (in-token), and quantifiers
+`+ * ? {m,n}` applied to literals/classes (in-token; quantified '.' is
+rejected — it could span arbitrarily many token boundaries). This covers
+the reference's headline use (arbitrary infix literals crossing token
+boundaries, e.g. 'erge fas' matching "...merge fast...") plus most real
+regexes; alternation/groups fall back to the scan path. Every fragment
+must contain at least one REQUIRED unit (not ?- or *-quantified) so
+token-boundary semantics stay exact.
 
 Plan shape (all DataFrame, no driver-side term lists):
 
@@ -35,18 +40,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..index.ngram import longest_literal_run, prune_terms_by_grams
+from ..index.ngram import prune_terms_by_grams, required_literal_run
 
-_ALLOWED = set("abcdefghijklmnopqrstuvwxyz0123456789 .")
+_LITERALS = set("abcdefghijklmnopqrstuvwxyz0123456789")
 _MAX_DOTS = 10
 
 
+def _units(pattern: str) -> list[tuple[str, str]]:
+    """Lex the pattern into (kind, regex-text) units: 'lit' | 'dot' |
+    'space' | 'class' | 'quant'. Raises ValueError on anything outside
+    the supported subset (see module docstring)."""
+    units: list[tuple[str, str]] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in _LITERALS:
+            units.append(("lit", c))
+            i += 1
+        elif c == " ":
+            units.append(("space", " "))
+            i += 1
+        elif c == ".":
+            units.append(("dot", "."))
+            i += 1
+        elif c == "[":
+            j = pattern.find("]", i + 1)
+            body = pattern[i : j + 1] if j >= 0 else ""
+            inner = body[1:-1]
+            if (
+                j < 0
+                or not inner
+                or not set(inner) <= (_LITERALS | {"-"})
+            ):
+                raise ValueError(f"unsupported class in infix pattern: {pattern!r}")
+            units.append(("class", body))
+            i = j + 1
+        elif c in "+*?" or c == "{":
+            if c == "{":
+                j = pattern.find("}", i + 1)
+                body = pattern[i : j + 1] if j >= 0 else ""
+                if j < 0 or not all(
+                    ch.isdigit() or ch == "," for ch in body[1:-1]
+                ) or not body[1:-1]:
+                    raise ValueError(f"unsupported quantifier: {pattern!r}")
+                quant = body
+                i = j + 1
+            else:
+                quant = c
+                i += 1
+            if not units or units[-1][0] not in ("lit", "class"):
+                # quantified '.' could span token boundaries; leading
+                # quantifiers are malformed
+                raise ValueError(f"unsupported quantifier placement: {pattern!r}")
+            units.append(("quant", quant))
+        else:
+            raise ValueError(f"unsupported infix pattern: {pattern!r}")
+    return units
+
+
+def _optional_quant(q: str) -> bool:
+    """Does this quantifier allow ZERO occurrences of its unit?"""
+    return q in ("*", "?") or (q.startswith("{0"))
+
+
 def pattern_supported(pattern: str) -> bool:
-    return (
-        bool(pattern)
-        and set(pattern) <= _ALLOWED
-        and pattern.count(".") <= _MAX_DOTS
-    )
+    if not pattern or pattern.count(".") > _MAX_DOTS:
+        return False
+    try:
+        _units(pattern)
+        return True
+    except ValueError:
+        return False
 
 
 def variants(pattern: str) -> list[tuple[str, ...]]:
@@ -54,19 +118,44 @@ def variants(pattern: str) -> list[tuple[str, ...]]:
     every '.' independently plays a space or an in-token wildcard.
     Fragment tuples with an empty MIDDLE fragment are dropped (the stream
     never has two adjacent spaces); empty EDGE fragments survive — they
-    encode 'a token boundary here' (predecessor/successor must exist)."""
-    if not pattern_supported(pattern):
+    encode 'a token boundary here' (predecessor/successor must exist).
+    A NONEMPTY fragment with no required unit (all its units ?/*-
+    quantified) is rejected — it could match the empty string, blurring
+    the token-boundary semantics."""
+    units = _units(pattern)
+    if not units or pattern.count(".") > _MAX_DOTS:
         raise ValueError(f"unsupported infix pattern: {pattern!r}")
-    dots = [i for i, c in enumerate(pattern) if c == "."]
+    def _has_required(funits: list[tuple[str, str]]) -> bool:
+        """≥1 unit that every match must consume (not ?/*-quantified)."""
+        for idx, (k, _) in enumerate(funits):
+            if k in ("lit", "class", "dot"):
+                nxt = funits[idx + 1] if idx + 1 < len(funits) else None
+                if not (nxt and nxt[0] == "quant" and _optional_quant(nxt[1])):
+                    return True
+        return False
+
+    dots = [i for i, (k, _) in enumerate(units) if k == "dot"]
     out = set()
     for mask in range(1 << len(dots)):
-        chars = list(pattern)
+        kinds = [k for k, _ in units]
         for bi, i in enumerate(dots):
             if (mask >> bi) & 1:
-                chars[i] = " "
-        frags = tuple("".join(chars).split(" "))
+                kinds[i] = "space"
+        # split the unit list into fragments on 'space' kinds
+        fragment_units: list[list[tuple[str, str]]] = [[]]
+        for u, k in zip(units, kinds):
+            if k == "space":
+                fragment_units.append([])
+            else:
+                fragment_units[-1].append(u)
+        frags = tuple("".join(t for _, t in fu) for fu in fragment_units)
         if any(f == "" for f in frags[1:-1]):
             continue
+        for f, fu in zip(frags, fragment_units):
+            if f != "" and not _has_required(fu):
+                raise ValueError(
+                    f"fragment {f!r} in {pattern!r} can match empty — unsupported"
+                )
         out.add(frags)
     return sorted(out)
 
@@ -116,7 +205,7 @@ def infix_docs(engine, pattern: str) -> DataFrame:
         cands = []
         ok = True
         for j, rx in slots:
-            run = longest_literal_run(rx)
+            run = required_literal_run(rx)
             pruned = prune_terms_by_grams(
                 vocab,
                 ngrams,

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", os.environ.get("FEMTO_EVENTLOG", "false"))
+        .config("spark.eventLog.dir", os.environ.get("FEMTO_EVENTLOG_DIR", "/tmp"))
     )
     for k, v in MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

@@ -58,7 +58,12 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
     from femto_spark.tokenizer import tokenize
 
     streams = {d: " ".join(tokenize(t)) for d, t in docs_sf001.items()}
-    for pat in ["erge.fas", "erge fas", "ta.le", "merge", "able sc", "a.a"]:
+    for pat in [
+        "erge.fas", "erge fas", "ta.le", "merge", "able sc", "a.a",
+        # classes and quantifiers (in-token)
+        "s[cl]an", "ta[b-d]le", "mer+ge", "ab?le", "s[cl]an fas",
+        "scan.fa[rst]t", "value[s0-9]",
+    ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
         assert got == want, pat
@@ -67,8 +72,9 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
 def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
-    with _pt.raises(ValueError):
-        engine.infix_docs("a|b")
+    for bad in ["a|b", ".+x", "x.*", "(ab)c", "x* y", "[a b]"]:
+        with _pt.raises(ValueError):
+            engine.infix_docs(bad)
 
 
 def test_approx_weighted_costs(engine, oracle_sf001):

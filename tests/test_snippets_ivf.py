@@ -87,15 +87,15 @@ def test_fielded_search_filter(spark, tmp_path, docs_sf001, oracle_sf001):
         "data table scan", k=10, where={"lang": "en"}
     ).collect()]
     want = [
-        (d, s) for d, s in oracle_sf001.search("data table scan", k=10**9)
+        (d, s) for d, s in oracle_sf001.search("data table scan", k=10**6)
         if langs[d] == "en"
     ][:10]
     assert got == want
     # multi-value filter
     got2 = {r["doc_id"] for r in eng.search(
-        "data", k=10**9, where={"lang": ["en", "de"]}
+        "data", k=10**6, where={"lang": ["en", "de"]}
     ).collect()}
     assert got2 == {
-        d for d, _ in oracle_sf001.search("data", k=10**9)
+        d for d, _ in oracle_sf001.search("data", k=10**6)
         if langs[d] in ("en", "de")
     }
