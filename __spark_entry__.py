@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inter-token space) — the FM-index-style core query, answered from
     # vocab + gram + postings tables without touching the corpus
     q["fts_regex_infix"] = lambda s, d: _engine(s, d).infix_docs("erge.fas")
+    q["fts_regex_infix_class"] = lambda s, d: _engine(s, d).infix_docs(
+        "mer+ge.ta[b-d]le"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -416,6 +419,11 @@ WHERE regexp_matches(term, '^mer|s(can|low)$') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'erge.fas') ORDER BY doc_id"""
+
+    o["fts_regex_infix_class"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'mer+ge.ta[b-d]le') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),
