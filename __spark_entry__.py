@@ -268,6 +268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = _fingerprint  # no SQL oracle (xxhash64 chain)
 
+    def _common(s, d):
+        # femto_common analogue: most common phrases (BFS → Apriori levels)
+        from femto_spark.ops.textstats import common_phrases
+
+        return common_phrases(_docs(s, d), min_df=5, max_len=3, limit=40)
+
+    q["text_common_phrases"] = _common
+
     # ---- training-pipeline: similarity search ----
     def _ann(s, d):
         from femto_spark.ops.similarity import brute_force_topk
@@ -568,6 +576,21 @@ SELECT doc_id,
   floor((length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
          / greatest(length(text), 1)) * 1e6 + 0.5) / 1e6 AS alpha_ratio
 FROM documents"""
+
+    lvl_sqls = []
+    for n in (1, 2, 3):
+        lvl_sqls.append(f"""
+SELECT phrase, {n} AS n_tokens, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - {n - 1}),
+      i -> array_to_string(list_slice(toks, i + 1, i + {n}), ' '))) AS phrase
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)
+  WHERE len(toks) >= {n}
+) GROUP BY phrase HAVING count(*) >= 5""")
+    o["text_common_phrases"] = (
+        "SELECT phrase, n_tokens, df FROM ("
+        + " UNION ALL ".join(lvl_sqls)
+        + ") ORDER BY df DESC, n_tokens DESC, phrase ASC LIMIT 40"
+    )
 
     markers = {
         "en": "['the','and','of','to','a','in','is','it']",

@@ -114,3 +114,48 @@ def fingerprint(corpus: DataFrame, id_col="doc_id", text_col="text") -> DataFram
             "aggregate(toks, cast(0 as bigint), (acc, t) -> xxhash64(acc, t))"
         ).alias("fingerprint"),
     )
+
+
+def common_phrases(
+    corpus: DataFrame,
+    min_df: int = 2,
+    max_len: int = 4,
+    limit: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Most-common phrases — the femto_common analogue
+    (`/root/reference/src/main/common_tool.c`: breadth-first search for
+    the most common substrings in an index). Token-level restatement:
+    word n-grams (n = 1..max_len) appearing in ≥ min_df documents,
+    ranked (df desc, longer first, phrase asc). The BFS's frontier-
+    pruning property (a frequent string's prefixes are frequent) is the
+    Apriori property here — each length level is one distinct+groupBy;
+    levels with no survivors end the walk, so the scan depth is
+    data-bounded like the reference's frontier."""
+    toked = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("toks"),
+    )
+    out = None
+    for n in range(1, max_len + 1):
+        expr = (
+            f"case when size(toks) >= {n} then"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' '))"
+            f" else cast(array() as array<string>) end"
+        )
+        lvl = (
+            toked.select("doc_id", F.explode(F.expr(expr)).alias("phrase"))
+            .distinct()
+            .groupBy("phrase")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") >= min_df)
+            .withColumn("n_tokens", F.lit(n))
+        )
+        out = lvl if out is None else out.union(lvl)
+    return (
+        out.orderBy(F.desc("df"), F.desc("n_tokens"), F.asc("phrase"))
+        .limit(limit)
+        .select("phrase", "n_tokens", "df")
+    )

@@ -318,3 +318,27 @@ def test_embedding_neardup_lsh_precision_one(spark, embs):
     }
     assert approx <= exact
     assert len(approx) >= 0.8 * len(exact)
+
+
+def test_common_phrases(spark, docs):
+    from femto_spark.ops.textstats import common_phrases
+    from femto_spark.tokenizer import tokenize
+
+    got = [
+        (r["phrase"], r["n_tokens"], r["df"])
+        for r in common_phrases(docs, min_df=5, max_len=2, limit=20).collect()
+    ]
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{SF}/documents.parquet'").fetchall()
+    from collections import Counter
+
+    dfc = Counter()
+    for _, t in rows:
+        toks = tokenize(t)
+        seen = set(toks)
+        seen |= {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+        dfc.update(seen)
+    want = sorted(
+        ((p, len(p.split()), c) for p, c in dfc.items() if c >= 5),
+        key=lambda x: (-x[2], -x[1], x[0]),
+    )[:20]
+    assert got == want
