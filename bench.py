@@ -52,9 +52,21 @@ def run_battery(spark, sf_dir: str) -> dict:
     eng, corpus, n_docs, times["build_index"] = _engine_and_times(spark, sf_dir)
 
     def t(name, fn):
-        t0 = time.time()
-        fn()
-        times[name] = time.time() - t0
+        # q_* queries: best-of-2 — the host is time-shared with a 2.6x
+        # spread on identical runs (BENCH/BASELINE.md probes); external
+        # interference only ever slows a run, so the min is the least-
+        # contaminated estimate (hyperfine's rationale, same protocol as
+        # --scaling). op_* and the build run ONCE: their internal persist
+        # caches would make a second run measure warm-cache time, which
+        # is not the number being reported.
+        reps = 2 if name.startswith("q_") else 1
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = best
 
     batch = {f"q{i}": q for i, q in enumerate(
         ["the", "data table", "spark window agg", "fast slow filter",
@@ -201,8 +213,10 @@ def run_one_level(cpus: int) -> None:
         "t00002 t00040", "t01234 t00003", "t00020 t00021 t00022",
         "t00300", "t00004 t05000", "t00050 t00060",
     ]
-    batch = {f"q{i}": uniq[i % len(uniq)] + f" t{i % 2000:05d}" for i in range(1000)}
-    small = {k: batch[k] for k in list(batch)[:100]}
+    n_wand = int(os.environ.get("FEMTO_SCALE_WAND_BATCH", "1000"))
+    n_exact = int(os.environ.get("FEMTO_SCALE_BATCH", "100"))
+    batch = {f"q{i}": uniq[i % len(uniq)] + f" t{i % 2000:05d}" for i in range(n_wand)}
+    small = {k: batch[k] for k in list(batch)[:n_exact]}
     eng.search_many({"w": "t00001"}, k=10).count()  # warm the query path
     tq0 = time.time()
     eng.search_many(small, k=10).count()
