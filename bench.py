@@ -268,12 +268,18 @@ def main_scaling() -> None:
             # Pin the whole process tree (JVM + python UDF workers) to
             # exactly `cpus` cores — otherwise local[N]'s python workers
             # borrow the remaining cores and N-vs-4N is meaningless.
+            # heap scales WITH the level (4g/core): on a real cluster 4x
+            # executors bring 4x heap; a fixed heap would starve the 4N
+            # level's concurrent tasks (observed: 8 tasks OOM an 8g heap
+            # at 5M docs while 2 tasks run fine in it)
+            env = dict(os.environ, SPARK_DRIVER_MEM=f"{4 * cpus}g")
             proc = subprocess.run(
                 ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__,
                  "--level", str(cpus)],
                 capture_output=True,
                 text=True,
                 cwd=REPO,
+                env=env,
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             runs.append(json.loads(line))
