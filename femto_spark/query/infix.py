@@ -104,10 +104,13 @@ def _optional_quant(q: str) -> bool:
 
 
 def pattern_supported(pattern: str) -> bool:
+    """True iff infix_docs will accept the pattern. Must mirror what
+    infix_docs actually evaluates: variants() applies the all-optional-
+    fragment rejection that _units() alone does not (e.g. 'x* y')."""
     if not pattern or pattern.count(".") > _MAX_DOTS:
         return False
     try:
-        _units(pattern)
+        variants(pattern)
         return True
     except ValueError:
         return False
@@ -203,7 +206,6 @@ def infix_docs(engine, pattern: str) -> DataFrame:
 
         # candidate term sets per slot: gram-pruned, rlike-verified
         cands = []
-        ok = True
         for j, rx in slots:
             run = required_literal_run(rx)
             pruned = prune_terms_by_grams(
@@ -216,8 +218,6 @@ def infix_docs(engine, pattern: str) -> DataFrame:
             base = pruned if pruned is not None else vocab
             cand = base.filter(F.col("term").rlike(rx)).select("term_hash")
             cands.append((j, cand))
-        if not ok:
-            continue
 
         if len(slots) == 1 and k == 0:
             d = engine._docs_for_hashes(cands[0][1])
@@ -237,11 +237,13 @@ def infix_docs(engine, pattern: str) -> DataFrame:
                 .agg(F.countDistinct("slot").alias("ns"))
                 .filter(F.col("ns") == len(slots))
             )
-            # empty edge fragments = token-boundary requirements
-            if frags[0] == "":
-                hits = hits.filter(F.col("anchor") >= 1)
-            else:
-                hits = hits.filter(F.col("anchor") >= 0)
+            # empty edge fragments = token-boundary requirements: the
+            # predecessor token sits at stream position `anchor`, which
+            # exists iff anchor >= 0 (symmetric with the trailing check
+            # anchor + k <= dl - 1). A nonempty frags[0] matches as a
+            # token SUFFIX at slot 0, so anchor = pos >= 0 always holds;
+            # the filter is the same either way.
+            hits = hits.filter(F.col("anchor") >= 0)
             if frags[-1] == "":
                 hits = hits.join(engine._docs, "doc_id").filter(
                     F.col("anchor") + k <= F.col("dl") - 1

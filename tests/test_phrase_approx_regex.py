@@ -63,9 +63,36 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # classes and quantifiers (in-token)
         "s[cl]an", "ta[b-d]le", "mer+ge", "ab?le", "s[cl]an fas",
         "scan.fa[rst]t", "value[s0-9]",
+        # empty EDGE fragments: leading/trailing token boundary — the
+        # predecessor/successor sits at anchor / anchor+k, which exists
+        # iff anchor >= 0 (regression: 'anchor >= 1' dropped matches
+        # whose matched token is at stream position 1)
+        " able", ".able", " able ", "able ", " ta.le", " a", "e ",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
+        assert got == want, pat
+
+
+def test_infix_leading_boundary_position_one(spark, tmp_path):
+    """Regression for the anchor>=1 off-by-one: a doc whose matched token
+    sits at stream position 1 ('x able here') must survive a leading
+    token-boundary fragment (' able', '.able', ' able ')."""
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+
+    docs = [(0, "x able here"), (1, "able first token"), (2, "no match")]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_buckets=2)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    for pat, want in [
+        (" able", [0]),
+        (".able", [0]),
+        (" able ", [0]),
+        ("able", [0, 1]),
+    ]:
+        got = [r["doc_id"] for r in eng.infix_docs(pat).collect()]
         assert got == want, pat
 
 
