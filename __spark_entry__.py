@@ -177,6 +177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_class"] = lambda s, d: _engine(s, d).infix_docs(
         "mer+ge.ta[b-d]le"
     )
+    # alternation/groups over the index: a cross-token group branch-
+    # expands into the variant union; an in-token quantified group stays
+    # one opaque vocab-regex unit (reference NFA templates, nfa.c:418)
+    q["fts_regex_infix_alt"] = lambda s, d: _engine(s, d).infix_docs(
+        "merge (fast|slow)"
+    )
+    q["fts_regex_infix_group"] = lambda s, d: _engine(s, d).infix_docs(
+        "ta(b|c)+le fas"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -432,6 +441,16 @@ WHERE regexp_matches(s, 'erge.fas') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'mer+ge.ta[b-d]le') ORDER BY doc_id"""
+
+    o["fts_regex_infix_alt"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'merge (fast|slow)') ORDER BY doc_id"""
+
+    o["fts_regex_infix_group"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'ta(b|c)+le fas') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),

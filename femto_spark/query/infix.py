@@ -12,12 +12,25 @@ engine indexes the tokenized stream, so the equivalent contract here is:
 
 Supported pattern subset: literal [a-z0-9] chars, literal spaces, '.'
 (any single character — including the inter-token space, as in POSIX),
-character classes `[abc]`/`[a-f0-3]` (in-token), and quantifiers
-`+ * ? {m,n}` applied to literals/classes (in-token; quantified '.' is
-rejected — it could span arbitrarily many token boundaries). This covers
-the reference's headline use (arbitrary infix literals crossing token
-boundaries, e.g. 'erge fas' matching "...merge fast...") plus most real
-regexes; alternation/groups fall back to the scan path. Every fragment
+character classes `[abc]`/`[a-f0-3]` (in-token), quantifiers
+`+ * ? {m,n}` applied to literals/classes/groups (in-token; quantified
+'.' is rejected — it could span arbitrarily many token boundaries),
+top-level alternation `A|B`, and groups `(A|B)`:
+
+  * an IN-TOKEN group (no space or '.' in its body, e.g. `(cd|ef)`)
+    stays a single opaque regex unit inside its fragment — quantified
+    groups like the reference's `ab(cd|ef)+cd` template
+    (`/root/reference/src/main/nfa.c:418`, test.pl:343-364) evaluate as
+    one vocab rlike, no expansion blow-up;
+  * a group whose body crosses token boundaries (contains ' ' or '.')
+    is expanded branch-wise into separate patterns union'd together
+    (unquantified only — an unbounded cross-token repetition has no
+    finite fragment form and falls back to the scan path);
+  * nested groups fall back to the scan path.
+
+This covers the reference's headline use (arbitrary infix literals
+crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
+plus the full ERE subset its test templates exercise. Every fragment
 must contain at least one REQUIRED unit (not ?- or *-quantified) so
 token-boundary semantics stay exact.
 
@@ -40,16 +53,93 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..index.ngram import prune_terms_by_grams, required_literal_run
+from ..index.ngram import prune_terms_by_grams
 
 _LITERALS = set("abcdefghijklmnopqrstuvwxyz0123456789")
 _MAX_DOTS = 10
+_MAX_EXPANSIONS = 64  # cap on branch-expanded pattern count
+
+
+def _split_alternation(body: str) -> list[str]:
+    """Split on '|' at depth 0 — '|' inside a (group) or a [class]
+    belongs to that construct, not the top level."""
+    parts, cur, depth, in_class = [], [], 0, False
+    for c in body:
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "(" and not in_class:
+            depth += 1
+        elif c == ")" and not in_class:
+            depth -= 1
+        if c == "|" and depth == 0 and not in_class:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return parts
+
+
+def expand(pattern: str) -> list[str]:
+    """Expand top-level alternation and CROSS-TOKEN groups (body contains
+    ' ' or '.') into a list of patterns whose only remaining groups are
+    in-token — those stay opaque regex units for _units(). Unquantified
+    cross-token groups only ('?' adds the empty branch); nested groups
+    and quantified cross-token groups raise ValueError (scan fallback)."""
+    tops = _split_alternation(pattern)
+    if len(tops) > 1:
+        out: list[str] = []
+        for t in tops:
+            if not t:
+                raise ValueError(f"empty alternation branch: {pattern!r}")
+            out.extend(expand(t))
+        if len(out) > _MAX_EXPANSIONS:
+            raise ValueError(f"alternation expands too wide: {pattern!r}")
+        return out
+
+    i = pattern.find("(")
+    if i < 0:
+        return [pattern]
+    j = pattern.find(")", i + 1)
+    if j < 0 or "(" in pattern[i + 1 : j]:
+        raise ValueError(f"unbalanced or nested group in {pattern!r}")
+    body = pattern[i + 1 : j]
+    if not body:
+        raise ValueError(f"empty group in {pattern!r}")
+    if " " not in body and "." not in body:
+        # in-token group: leave it for _units(), expand only the tail
+        return [
+            pattern[: j + 1] + rest for rest in expand(pattern[j + 1 :])
+        ] if j + 1 < len(pattern) else [pattern]
+    # cross-token group: branch-expand (unquantified; '?' = empty branch)
+    quant = pattern[j + 1] if j + 1 < len(pattern) else ""
+    branches = [b for b in _split_alternation(body)]
+    if any(not b for b in branches):
+        raise ValueError(f"empty branch in group: {pattern!r}")
+    if quant in ("+", "*", "{"):
+        raise ValueError(
+            f"quantified cross-token group unsupported: {pattern!r}"
+        )
+    k = j + 1
+    if quant == "?":
+        branches.append("")
+        k = j + 2
+    out = []
+    for b in branches:
+        out.extend(expand(pattern[:i] + b + pattern[k:]))
+    if len(out) > _MAX_EXPANSIONS:
+        raise ValueError(f"group expands too wide: {pattern!r}")
+    return out
 
 
 def _units(pattern: str) -> list[tuple[str, str]]:
     """Lex the pattern into (kind, regex-text) units: 'lit' | 'dot' |
-    'space' | 'class' | 'quant'. Raises ValueError on anything outside
-    the supported subset (see module docstring)."""
+    'space' | 'class' | 'group' | 'quant'. Raises ValueError on anything
+    outside the supported subset (see module docstring). Groups reaching
+    here are in-token (expand() rewrote the rest): every branch must lex
+    to a non-empty, space/dot-free, required unit sequence."""
     units: list[tuple[str, str]] = []
     i = 0
     while i < len(pattern):
@@ -63,6 +153,25 @@ def _units(pattern: str) -> list[tuple[str, str]]:
         elif c == ".":
             units.append(("dot", "."))
             i += 1
+        elif c == "(":
+            j = pattern.find(")", i + 1)
+            body = pattern[i + 1 : j] if j >= 0 else ""
+            if j < 0 or not body or "(" in body:
+                raise ValueError(f"unsupported group in {pattern!r}")
+            for b in _split_alternation(body):
+                if not b:
+                    raise ValueError(f"empty branch in {pattern!r}")
+                sub = _units(b)  # validates the branch's own subset
+                if any(k in ("space", "dot", "group") for k, _ in sub):
+                    raise ValueError(
+                        f"cross-token group must be pre-expanded: {pattern!r}"
+                    )
+                if not _has_required(sub):
+                    raise ValueError(
+                        f"group branch {b!r} can match empty: {pattern!r}"
+                    )
+            units.append(("group", pattern[i : j + 1]))
+            i = j + 1
         elif c == "[":
             j = pattern.find("]", i + 1)
             body = pattern[i : j + 1] if j >= 0 else ""
@@ -88,7 +197,7 @@ def _units(pattern: str) -> list[tuple[str, str]]:
             else:
                 quant = c
                 i += 1
-            if not units or units[-1][0] not in ("lit", "class"):
+            if not units or units[-1][0] not in ("lit", "class", "group"):
                 # quantified '.' could span token boundaries; leading
                 # quantifiers are malformed
                 raise ValueError(f"unsupported quantifier placement: {pattern!r}")
@@ -103,6 +212,44 @@ def _optional_quant(q: str) -> bool:
     return q in ("*", "?") or (q.startswith("{0"))
 
 
+def _has_required(funits: list[tuple[str, str]]) -> bool:
+    """≥1 unit that every match must consume (not ?/*-quantified)."""
+    for idx, (k, _) in enumerate(funits):
+        if k in ("lit", "class", "dot", "group"):
+            nxt = funits[idx + 1] if idx + 1 < len(funits) else None
+            if not (nxt and nxt[0] == "quant" and _optional_quant(nxt[1])):
+                return True
+    return False
+
+
+def required_run_from_units(funits: list[tuple[str, str]]) -> str:
+    """Longest literal run every match of this fragment must contain —
+    computed from unit structure, so group/class-bearing fragments still
+    gram-prune on their required literal stretches (required_literal_run
+    on the regex TEXT conservatively bails on any '('/'['). A lit whose
+    quantifier is optional is dropped; a '+'/'{m,}' lit keeps its char
+    but splits the run (contiguity beyond one occurrence isn't
+    guaranteed); class/group/dot split the run."""
+    best = cur = ""
+    for idx, (k, t) in enumerate(funits):
+        if k == "quant":
+            continue
+        nxt = funits[idx + 1] if idx + 1 < len(funits) else None
+        quant = nxt[1] if nxt and nxt[0] == "quant" else None
+        if k == "lit" and quant is None:
+            cur += t
+        elif k == "lit" and not _optional_quant(quant):
+            cur += t  # one occurrence guaranteed, adjacent to cur
+            if len(cur) > len(best):
+                best = cur
+            cur = ""
+        else:  # optional lit, class, group, dot — breaks the run
+            cur = ""
+        if len(cur) > len(best):
+            best = cur
+    return best
+
+
 def pattern_supported(pattern: str) -> bool:
     """True iff infix_docs will accept the pattern. Must mirror what
     infix_docs actually evaluates: variants() applies the all-optional-
@@ -110,7 +257,8 @@ def pattern_supported(pattern: str) -> bool:
     if not pattern or pattern.count(".") > _MAX_DOTS:
         return False
     try:
-        variants(pattern)
+        for p in expand(pattern):
+            variants(p)
         return True
     except ValueError:
         return False
@@ -128,15 +276,6 @@ def variants(pattern: str) -> list[tuple[str, ...]]:
     units = _units(pattern)
     if not units or pattern.count(".") > _MAX_DOTS:
         raise ValueError(f"unsupported infix pattern: {pattern!r}")
-    def _has_required(funits: list[tuple[str, str]]) -> bool:
-        """≥1 unit that every match must consume (not ?/*-quantified)."""
-        for idx, (k, _) in enumerate(funits):
-            if k in ("lit", "class", "dot"):
-                nxt = funits[idx + 1] if idx + 1 < len(funits) else None
-                if not (nxt and nxt[0] == "quant" and _optional_quant(nxt[1])):
-                    return True
-        return False
-
     dots = [i for i, (k, _) in enumerate(units) if k == "dot"]
     out = set()
     for mask in range(1 << len(dots)):
@@ -193,8 +332,14 @@ def infix_docs(engine, pattern: str) -> DataFrame:
 
     ngrams = ensure_vocab_ngrams(spark, engine.index_dir)
 
+    # alternation/groups expand to patterns; dedup shared fragment-tuples
+    # so common variants across branches evaluate once
+    all_frags: set[tuple[str, ...]] = set()
+    for p in expand(pattern):
+        all_frags.update(variants(p))
+
     result: DataFrame | None = None
-    for frags in variants(pattern):
+    for frags in sorted(all_frags):
         k = len(frags) - 1
         slots = _slot_regexes(frags)
 
@@ -207,7 +352,7 @@ def infix_docs(engine, pattern: str) -> DataFrame:
         # candidate term sets per slot: gram-pruned, rlike-verified
         cands = []
         for j, rx in slots:
-            run = required_literal_run(rx)
+            run = required_run_from_units(_units(frags[j]))
             pruned = prune_terms_by_grams(
                 vocab,
                 ngrams,

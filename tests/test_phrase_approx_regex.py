@@ -68,6 +68,11 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # iff anchor >= 0 (regression: 'anchor >= 1' dropped matches
         # whose matched token is at stream position 1)
         " able", ".able", " able ", "able ", " ta.le", " a", "e ",
+        # alternation and groups: in-token groups stay regex units
+        # (quantifiable); cross-token groups branch-expand; top-level '|'
+        "merge (fast|slow)", "s(can|low)", "ta(b|c)le", "merge|scan",
+        "ab(cd|le)+", "s(can|low) (fast|slow)", "(able|data) ta.le",
+        "mer(ge fast|ge slow)", "(a b)? table", "x(y|z)?a",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -99,7 +104,10 @@ def test_infix_leading_boundary_position_one(spark, tmp_path):
 def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
-    for bad in ["a|b", ".+x", "x.*", "(ab)c", "x* y", "[a b]"]:
+    for bad in [
+        ".+x", "x.*", "x* y", "[a b]",          # quantified '.' / empty-matching
+        "(a(b|c))d", "(a b)+", "(x.y)*", "a||b",  # nested / quantified cross-token
+    ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)
 
