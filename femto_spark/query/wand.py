@@ -51,13 +51,26 @@ def _tfnorm(tf, dl, avgdl):
     return num / den
 
 
-def wand_topk(term_rows: list[dict], k: int, n_docs: int, avgdl: float):
+def wand_topk(
+    term_rows: list[dict],
+    k: int,
+    n_docs: int,
+    avgdl: float,
+    exact: bool = False,
+):
     """term_rows: one dict per index row (term shard) with keys
     term, df, n, tf_off, dl_off, block_last_doc, block_max_tf,
     block_min_dl, block_gap_off, block_tf_off, block_dl_off, postings.
 
     Returns (doc_ids int64[], scores float64[]) — exact top-k, rounded
     half-up to 6 decimals, sorted (score desc, doc_id asc).
+
+    exact=True runs the same harness with θ = −inf: every block survives
+    pruning, candidates = all docs of all terms, and step 4's exact
+    verification becomes the exhaustive OR-mode scorer — bit-identical to
+    the DataFrame exact plan (same idf·(num/den) float64 ops, same
+    ascending-term fold), in one co-grouped task per query instead of an
+    exploded (query, doc, score) shuffle.
     """
     if not term_rows:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -100,18 +113,21 @@ def wand_topk(term_rows: list[dict], k: int, n_docs: int, avgdl: float):
         )
 
     # ---- step 1: bootstrap θ from the rarest term ------------------------
-    boot = min(terms, key=lambda t: int(by_term[t][0]["df"]))
-    boot_scores: list[np.ndarray] = []
-    for r in by_term[boot]:
-        d, tf, dl = _decode_all(r)
-        r["_full"] = (d, tf, dl)
-        boot_scores.append(idf[boot] * _tfnorm(tf.astype(np.float64), dl.astype(np.float64), avgdl))
-    bs = np.concatenate(boot_scores) if boot_scores else np.empty(0)
-    theta = float(np.partition(bs, bs.size - k)[bs.size - k]) if bs.size >= k else 0.0
-    # final ranking happens on 1e-6-rounded scores: a doc up to one rounding
-    # quantum below the unrounded k-th can still tie into the rounded top-k,
-    # so prune against θ − 1e-6 to stay rank-safe
-    theta -= 1e-6
+    if exact:
+        theta = -math.inf  # keep every block: exhaustive exact scorer
+    else:
+        boot = min(terms, key=lambda t: int(by_term[t][0]["df"]))
+        boot_scores: list[np.ndarray] = []
+        for r in by_term[boot]:
+            d, tf, dl = _decode_all(r)
+            r["_full"] = (d, tf, dl)
+            boot_scores.append(idf[boot] * _tfnorm(tf.astype(np.float64), dl.astype(np.float64), avgdl))
+        bs = np.concatenate(boot_scores) if boot_scores else np.empty(0)
+        theta = float(np.partition(bs, bs.size - k)[bs.size - k]) if bs.size >= k else 0.0
+        # final ranking happens on 1e-6-rounded scores: a doc up to one
+        # rounding quantum below the unrounded k-th can still tie into the
+        # rounded top-k, so prune against θ − 1e-6 to stay rank-safe
+        theta -= 1e-6
 
     # ---- step 2+3: prune blocks, gather candidates ------------------------
     cand_parts = []
