@@ -313,7 +313,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col="doc_id",
     text_col="text",
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
 
@@ -321,8 +321,13 @@ def minhash_lsh_pairs(
     exact n-gram Jaccard verifies — so the OUTPUT is deterministic and
     equals ngram_jaccard_pairs restricted to LSH-found candidates. The
     shingle table is materialized ONCE (persisted) and reused by both the
-    signature and verify passes; hot band-buckets above `max_bucket` are
-    star-linked (see _capped_bucket_pairs) instead of self-joined.
+    signature and verify passes.
+
+    `max_bucket` is OPT-IN (default None = the exact declared contract:
+    every Jaccard ≥ τ pair LSH surfaces is emitted). With a cap, hot
+    band-buckets are star-linked (see _capped_bucket_pairs): group
+    connectivity survives but intra-bucket pairs beyond the hub are
+    dropped — set it at boilerplate-heavy web scale, knowingly.
     """
     rows_per_band = n_hashes // bands
     # zero-shuffle signature path (per-row arrays, map-side minima)
@@ -435,12 +440,15 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col="doc_id",
     text_col="text",
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ t via pigeonhole banding:
     split 64 bits into t+1 chunks; d ≤ t ⇒ at least one chunk equal ⇒
-    candidates come from an equality bucket join, never O(n²). Chunk
-    buckets above `max_bucket` are star-linked (_capped_bucket_pairs)."""
+    candidates come from an equality bucket join, never O(n²).
+    `max_bucket` is OPT-IN (default None = exact contract — every
+    hamming ≤ t pair emitted); with a cap, hot chunk buckets are
+    star-linked (_capped_bucket_pairs): connectivity preserved,
+    intra-bucket pairs beyond the hub dropped."""
     chunks = max_hamming + 1
     width = 64 // chunks
     fp = simhash_fingerprints(corpus, id_col, text_col).cache()

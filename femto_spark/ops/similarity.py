@@ -11,6 +11,8 @@ LSH path bounds per-query work by bucket size, the IVF-style trade.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -257,7 +259,14 @@ def embedding_neardup_pairs(
     verification oracle.
 
     Determinism: fixed block assignment (xxhash64), float64 GEMM, same
-    floor(·×1e6+0.5) rounding as the SQL forms.
+    floor(·×1e6+0.5) rounding as the SQL forms. BLAS reduction order
+    differs from the engine's canonical strict left-fold by ~1 ulp; any
+    entry whose unrounded value lands within 1e-6 rounding-units of a
+    floor boundary (drift bound ≈ 1e-8 units, so the margin is ~100×)
+    is recomputed with an exact sequential fold (np.cumsum) before
+    rounding — the rounded output is therefore bit-identical to the
+    sequential-fold SQL form at ANY scale, not just where rounding
+    happens to absorb the drift.
     """
     import pandas as pd
 
@@ -295,6 +304,15 @@ def embedding_neardup_pairs(
         na = np.sqrt((ma * ma).sum(axis=1))
         nb = na if same else np.sqrt((mb * mb).sum(axis=1))
         cos = (ma @ mb.T) / np.outer(na, nb)
+        # boundary guard (see docstring): recompute near-boundary entries
+        # with the canonical strict left-fold before rounding
+        x = cos * 1e6 + 0.5
+        sus_r, sus_c = np.nonzero(np.abs(x - np.rint(x)) < 1e-6)
+        for i, j in zip(sus_r.tolist(), sus_c.tolist()):
+            dot = float(np.cumsum(ma[i] * mb[j])[-1])
+            nna = math.sqrt(float(np.cumsum(ma[i] * ma[i])[-1]))
+            nnb = math.sqrt(float(np.cumsum(mb[j] * mb[j])[-1]))
+            cos[i, j] = dot / (nna * nnb)
         cos = np.floor(cos * 1e6 + 0.5) / 1e6
         if same:
             # strict upper triangle by id (ids within a block are unique)
@@ -327,13 +345,26 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-dup pairs: hyperplane sign bits grouped into bands
     generate candidates from equality-bucket joins; exact cosine verifies
     each candidate, so PRECISION is 1 and only recall is probabilistic
     (a cos=τ pair agrees on a bit w.p. 1−θ/π; miss prob =
     (1−p^r)^bands — at τ=0.9, r=4, 16 bands ≈ 2e-7). This is the 100 TB
-    path; embedding_neardup_pairs is the exact oracle."""
+    path; embedding_neardup_pairs is the exact oracle.
+
+    Shape: the band explode and self-join carry ONLY (id, band, band_val)
+    — vectors do not ride through the n_bands-fold explode; they join
+    back onto the surviving candidate pairs for the exact verify.
+
+    `max_bucket` (opt-in, default None = exact contract): a degenerate
+    band bucket (near-zero or boilerplate embeddings) is star-linked to
+    its min id instead of all-pairs-joined (dedup._capped_bucket_pairs),
+    bounding a hot bucket at O(bucket) pairs. With a cap, intra-bucket
+    pairs beyond the hub are NOT verified — duplicate-group connectivity
+    is preserved, pairwise completeness is not; leave None unless a
+    bucket can plausibly exceed memory."""
     planes = lsh_hyperplanes(dim, n_bands * rows_per_band, seed)
 
     def band_exprs(col: str) -> list[str]:
@@ -351,29 +382,26 @@ def embedding_neardup_lsh(
             out.append(" + ".join(bits))
         return out
 
-    sig = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.array(*[F.expr(e) for e in band_exprs(vec_col)]).alias("sig"),
+    from .dedup import _capped_bucket_pairs
+
+    banded = vectors.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.array(*[F.expr(e) for e in band_exprs(vec_col)])
+        ).alias("band", "band_val"),
     )
-    banded = sig.select(
-        "id", "v", F.posexplode("sig").alias("band", "band_val")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
+    pairs = _capped_bucket_pairs(banded, ["band", "band_val"], max_bucket)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        pairs.join(
+            v.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            F.col("doc_a") == F.col("id_a"),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+        .join(
+            v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            F.col("doc_b") == F.col("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "va", "vb")
     )
     return cand.select(
         "id_a",

@@ -54,6 +54,13 @@ from ..xxhash import xxhash64
 _DECODED_SCHEMA = "term string, doc_id long, tf long, dl long, score double"
 _POS_SCHEMA = "term string, doc_id long, tf long, positions array<long>"
 
+# proximity hot-term prune triggers: big side at least this df, at least
+# this df asymmetry, small side under this cap (bounds the broadcast of
+# matched per-shard-row doc arrays inside postings_with_positions)
+_PROX_PRUNE_HI = 20_000
+_PROX_PRUNE_ASYM = 4
+_PROX_PRUNE_CAP = 1_000_000
+
 
 def _bm25_arrays(tf, dl, df, n_docs, avgdl):
     """Vectorized BM25, op-order identical to scoring.bm25_term: A*(B/C)."""
@@ -204,22 +211,65 @@ class SearchEngine:
         )
 
     def postings_with_positions(
-        self, terms: list[str], doc_filter: frozenset[int] | None = None
+        self, terms: list[str], doc_filter: DataFrame | None = None
     ) -> DataFrame:
         """(term, doc_id, tf, positions) — reads the positions column only
         here, so plain queries never touch it (column pruning).
 
-        `doc_filter` restricts the expensive part — building and shipping
-        per-doc position lists — to a known doc set (proximity passes the
-        boolean intersection): rows are masked right after the cheap
-        postings decode, and a posting row none of whose docs qualify
-        skips its positions blob entirely."""
+        `doc_filter` (a DataFrame of doc_id) restricts the expensive part
+        — building and shipping per-doc position lists — to a known doc
+        set (proximity passes the boolean intersection). Fully
+        distributed: a cheap postings-only decode maps each shard row
+        (term_hash, grp, shard) to its doc ids, a semi-join against the
+        filter keeps the matching ones, and the per-row matched arrays
+        broadcast-join back onto the shard rows — a row none of whose
+        docs qualify drops before its positions blob is ever read, and
+        no doc set ever visits the driver (the former plan collect()ed
+        up to 10^6 ids into a frozenset shipped inside every task
+        closure)."""
         names = {_thash(t): t for t in terms}
-        filt = (
-            np.array(sorted(doc_filter), dtype=np.int64)
-            if doc_filter is not None
-            else None
+        rows = self._term_rows(terms).select(
+            "term_hash", "grp", "shard",
+            "n", "tf_off", "dl_off", "postings", "positions",
         )
+        if doc_filter is not None:
+            def _ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    outs = []
+                    for r in pdf.itertuples(index=False):
+                        d, _, _ = decode_postings(
+                            bytes(r.postings), r.n, r.tf_off, r.dl_off
+                        )
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "term_hash": r.term_hash,
+                                    "grp": r.grp,
+                                    "shard": r.shard,
+                                    "doc_id": d,
+                                }
+                            )
+                        )
+                    if outs:
+                        yield pd.concat(outs, ignore_index=True)
+
+            matched = (
+                rows.select(
+                    "term_hash", "grp", "shard",
+                    "n", "tf_off", "dl_off", "postings",
+                )
+                .mapInPandas(
+                    _ids, "term_hash long, grp long, shard int, doc_id long"
+                )
+                .join(doc_filter.select("doc_id"), "doc_id", "semi")
+                .groupBy("term_hash", "grp", "shard")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("fdocs"))
+            )
+            rows = rows.join(
+                F.broadcast(matched), ["term_hash", "grp", "shard"], "inner"
+            )
+
+        filtered = doc_filter is not None
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -228,7 +278,8 @@ class SearchEngine:
                     d, t, _ = decode_postings(
                         bytes(r.postings), r.n, r.tf_off, r.dl_off
                     )
-                    if filt is not None:
+                    if filtered:
+                        filt = np.asarray(r.fdocs, dtype=np.int64)
                         mask = np.isin(d, filt)
                         if not mask.any():
                             continue
@@ -257,10 +308,7 @@ class SearchEngine:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        cols = ["term_hash", "n", "tf_off", "dl_off", "postings", "positions"]
-        return self._term_rows(terms).select(*cols).mapInPandas(
-            _decode, _POS_SCHEMA
-        )
+        return rows.mapInPandas(_decode, _POS_SCHEMA)
 
     # -- hash-set planes: term sets stay DISTRIBUTED (no driver collect) --
 
@@ -575,18 +623,24 @@ class SearchEngine:
         Hot-term pruning: when the sides' document frequencies are very
         asymmetric (a stopword THEN a rare term), the boolean doc
         intersection is computed FIRST from the postings blobs alone and
-        only the intersecting docs' positions are decoded/shipped — the
-        CLAUDE.md open end. Both plans return identical results; the
-        prune triggers automatically (dfs are already memoized driver-
-        side) and is skipped when the intersection could be huge."""
+        only the intersecting docs' positions are decoded/shipped. The
+        intersection stays a DataFrame end to end (semi-join + broadcast
+        inside postings_with_positions) — no doc id ever visits the
+        driver. Both plans return identical results; the prune triggers
+        automatically (dfs are already memoized driver-side) and is
+        skipped when the intersection could be huge."""
         left = _one_term(left, "THEN/WITHIN left")
         right = _one_term(right, "THEN/WITHIN right")
         doc_filter = None
         stats = self._term_stats([left, right])
         df_l, df_r = stats[left][0], stats[right][0]
         lo, hi = min(df_l, df_r), max(df_l, df_r)
-        if hi >= 20_000 and lo * 4 <= hi and lo <= 1_000_000:
-            common = (
+        if (
+            hi >= _PROX_PRUNE_HI
+            and lo * _PROX_PRUNE_ASYM <= hi
+            and lo <= _PROX_PRUNE_CAP
+        ):
+            doc_filter = (
                 self.postings([left], scored=False)
                 .select("doc_id")
                 .join(
@@ -594,9 +648,7 @@ class SearchEngine:
                     "doc_id",
                     "semi",
                 )
-                .collect()
             )
-            doc_filter = frozenset(r["doc_id"] for r in common)
         lp = self.postings_with_positions([left], doc_filter).select(
             "doc_id", F.col("positions").alias("lpos")
         )

@@ -84,13 +84,18 @@ def main() -> int:
         ],
     )
 
-    # 2. batched search: broadcast of query-term table
+    # 2. batched exact search: WAND harness with theta=-inf — co-grouped
+    # per-query tasks, no exploded (query, doc, score) shuffle, no Window
     check(
-        "search_many(5 queries) — batch join strategy",
+        "search_many(3 queries) — exact batch via WAND harness",
         eng.search_many({"a": "data table", "b": "the", "c": "merge sort"}, k=5),
         [
             ("query table broadcast (BroadcastHashJoin)", lambda p: "BroadcastHashJoin" in p),
-            ("window top-k present", lambda p: "Window" in p or "RunningWindowFunction" in p),
+            ("FlatMapGroupsInPandas (per-query task)", lambda p: "FlatMapGroupsInPandas" in p),
+            (
+                "no per-(query,doc) window shuffle",
+                lambda p: "Window" not in p,
+            ),
         ],
     )
 
@@ -128,6 +133,27 @@ def main() -> int:
             ("only md5/doc_id read (column pruning)", lambda p: "ReadSchema" in p),
         ],
     )
+
+    # 5b. proximity hot-term prune: intersection stays a DataFrame —
+    # semi-join + broadcast of matched doc arrays, no driver collect
+    import femto_spark.query.engine as _em
+
+    _saved = (_em._PROX_PRUNE_HI, _em._PROX_PRUNE_ASYM)
+    _em._PROX_PRUNE_HI, _em._PROX_PRUNE_ASYM = 0, 0
+    try:
+        check(
+            "proximity('the','data',3) — distributed hot-term prune",
+            eng.proximity("the", "data", 3, ordered=True),
+            [
+                ("intersection semi-join in plan (LeftSemi)", lambda p: "LeftSemi" in p),
+                (
+                    "matched doc arrays broadcast back to shard rows",
+                    lambda p: "BroadcastHashJoin" in p,
+                ),
+            ],
+        )
+    finally:
+        _em._PROX_PRUNE_HI, _em._PROX_PRUNE_ASYM = _saved
 
     # 6. brute-force ANN: whole-stage codegen, broadcast queries
     from femto_spark.ops.similarity import brute_force_topk

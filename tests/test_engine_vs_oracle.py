@@ -100,6 +100,45 @@ def test_proximity_match(engine, oracle_sf001):
         assert got == want, (left, right, d, ordered)
 
 
+def test_proximity_pruned_path_matches(engine, oracle_sf001, monkeypatch):
+    """Force the hot-term prune (distributed semi-join + broadcast of
+    matched per-shard-row doc arrays — no driver collect) and assert the
+    pruned plan returns exactly the unpruned results."""
+    import femto_spark.query.engine as em
+
+    monkeypatch.setattr(em, "_PROX_PRUNE_HI", 0)
+    monkeypatch.setattr(em, "_PROX_PRUNE_ASYM", 0)
+    for left, right, d, ordered in [
+        ("the", "data", 3, True),
+        ("the", "data", 3, False),
+        ("table", "scan", 5, True),
+        ("zzzmissing", "data", 2, True),  # empty intersection
+    ]:
+        want = oracle_sf001.proximity(left, right, d, ordered)
+        got = [
+            (r["doc_id"], r["offset"])
+            for r in engine.proximity(left, right, d, ordered).collect()
+        ]
+        assert got == want, (left, right, d, ordered)
+
+
+def test_postings_with_positions_doc_filter(spark, engine):
+    """DataFrame doc_filter == unfiltered result restricted to the set."""
+    full = engine.postings_with_positions(["data"]).collect()
+    keep = sorted({r["doc_id"] for r in full})[::2]
+    flt = spark.createDataFrame([(d,) for d in keep], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in engine.postings_with_positions(["data"], flt).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in full
+        if r["doc_id"] in set(keep)
+    )
+    assert got == want and got
+
+
 def test_extract_and_doc_info(engine, docs_sf001):
     row = engine.extract(3).collect()
     assert len(row) == 1 and row[0]["text"] == docs_sf001[3]

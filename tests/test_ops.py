@@ -320,6 +320,41 @@ def test_embedding_neardup_lsh_precision_one(spark, embs):
     assert len(approx) >= 0.8 * len(exact)
 
 
+def test_embedding_neardup_lsh_hot_bucket_capped(spark):
+    """10k identical embeddings share every band bucket; with max_bucket
+    the bucket is star-linked (O(n) pairs, bounded time) instead of the
+    5×10^7-pair clique. The banded self-join carries no vectors."""
+    import contextlib, io
+
+    from femto_spark.ops.similarity import embedding_neardup_lsh
+
+    n, dim = 10_000, 8
+    vec = [float(i % 7 + 1) for i in range(dim)]
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast((i - 1) % 7 + 1 as float))"
+        ).alias("embedding"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            df, 0.9, n_bands=4, rows_per_band=2, dim=dim, max_bucket=50
+        ).collect()
+    }
+    assert got == {(0, i) for i in range(1, n)}
+
+    # plan shape: the exploded band join must not carry the vector column
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        embedding_neardup_lsh(
+            df, 0.9, n_bands=4, rows_per_band=2, dim=dim, max_bucket=50
+        ).explain("formatted")
+    plan = buf.getvalue()
+    gen = plan.split("Generate")  # the posexplode node's output columns
+    assert len(gen) > 1 and "embedding" not in gen[1][:400]
+
+
 def test_common_phrases(spark, docs):
     from femto_spark.ops.textstats import common_phrases
     from femto_spark.tokenizer import tokenize
