@@ -129,31 +129,62 @@ def common_phrases(
     the most common substrings in an index). Token-level restatement:
     word n-grams (n = 1..max_len) appearing in ≥ min_df documents,
     ranked (df desc, longer first, phrase asc). The BFS's frontier-
-    pruning property (a frequent string's prefixes are frequent) is the
-    Apriori property here — each length level is one distinct+groupBy;
-    levels with no survivors end the walk, so the scan depth is
-    data-bounded like the reference's frontier."""
+    pruning property (a frequent string's substrings are frequent) is
+    the Apriori property here, and it actually prunes: a level-n
+    candidate survives to the distinct+groupBy only if BOTH its
+    (n−1)-token prefix and suffix were level-(n−1) survivors (two
+    semi-joins against the previous frontier), and an empty level ends
+    the walk — so a depth-8 request costs full-corpus explodes only as
+    deep as the data supports, like the reference's frontier."""
     toked = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("toks"),
-    )
+    ).persist()
     out = None
+    prev = None  # previous level's surviving phrases (the BFS frontier)
     for n in range(1, max_len + 1):
-        expr = (
-            f"case when size(toks) >= {n} then"
-            f" transform(sequence(0, size(toks) - {n}),"
-            f" i -> array_join(slice(toks, i + 1, {n}), ' '))"
-            f" else cast(array() as array<string>) end"
-        )
+        if n == 1:
+            cand = toked.select("doc_id", F.explode("toks").alias("phrase"))
+        else:
+            expr = (
+                f"transform(sequence(0, size(toks) - {n}), i -> struct("
+                f" array_join(slice(toks, i + 1, {n}), ' ') as phrase,"
+                f" array_join(slice(toks, i + 1, {n - 1}), ' ') as pref,"
+                f" array_join(slice(toks, i + 2, {n - 1}), ' ') as suff))"
+            )
+            cand = (
+                toked.filter(F.size("toks") >= n)
+                .select("doc_id", F.explode(F.expr(expr)).alias("g"))
+                .select("doc_id", "g.phrase", "g.pref", "g.suff")
+                .join(
+                    prev.select(F.col("phrase").alias("pref")), "pref", "semi"
+                )
+                .join(
+                    prev.select(F.col("phrase").alias("suff")), "suff", "semi"
+                )
+                .select("doc_id", "phrase")
+            )
         lvl = (
-            toked.select("doc_id", F.explode(F.expr(expr)).alias("phrase"))
-            .distinct()
+            cand.distinct()
             .groupBy("phrase")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") >= min_df)
             .withColumn("n_tokens", F.lit(n))
+            .persist()
         )
+        # full count (not limit(1)): materializes the whole level into
+        # cache so later levels' semi-joins and the final union read the
+        # cached frontier instead of recomputing the explode chain
+        if lvl.count() == 0:
+            lvl.unpersist()
+            break
+        prev = lvl
         out = lvl if out is None else out.union(lvl)
+    toked.unpersist()
+    if out is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "phrase string, n_tokens int, df long"
+        )
     return (
         out.orderBy(F.desc("df"), F.desc("n_tokens"), F.asc("phrase"))
         .limit(limit)

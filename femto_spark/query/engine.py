@@ -974,12 +974,17 @@ class SearchEngine:
         if not probe:
             return self.spark.createDataFrame([], "term string, df long, matched_prefix string")
         vocab = self.spark.read.parquet(self._vocab_path)
-        cands = vocab.filter(F.col("term").startswith(probe[0]))
-        whens = " ".join(
-            f"WHEN term LIKE '{probe[:i]}%' THEN {i}"
-            for i in range(len(probe), 0, -1)
-        )
-        scored = cands.withColumn("mlen", F.expr(f"CASE {whens} ELSE 0 END"))
+        cands = vocab.filter(F.col("term").startswith(F.lit(probe[0])))
+        # parameterized prefix-length CASE: startswith(lit) keeps any
+        # probe byte (quotes, %/_, regex chars) a literal — no SQL text
+        # is built from user input (the f-string LIKE form broke on a
+        # quote and silently wildcarded on %/_)
+        mlen = F.lit(0)
+        for i in range(1, len(probe) + 1):  # outermost when = longest
+            mlen = F.when(
+                F.col("term").startswith(F.lit(probe[:i])), F.lit(i)
+            ).otherwise(mlen)
+        scored = cands.withColumn("mlen", mlen)
         best = scored.agg(F.max("mlen")).collect()[0][0]
         if not best:
             return self.spark.createDataFrame([], "term string, df long, matched_prefix string")

@@ -377,3 +377,28 @@ def test_common_phrases(spark, docs):
         key=lambda x: (-x[2], -x[1], x[0]),
     )[:20]
     assert got == want
+
+
+def test_common_phrases_apriori_early_stop(spark):
+    """A depth-8 request on a corpus whose longest min_df-frequent phrase
+    has 2 tokens must stop the BFS at the empty level-3 frontier and
+    return exactly the max_len=2 answer (true Apriori, not 8 full-corpus
+    explode-distinct passes)."""
+    from femto_spark.ops.textstats import common_phrases
+
+    rows = [(i, "alpha beta " + f"unique{i} only{i} once{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    deep = [
+        (r["phrase"], r["n_tokens"], r["df"])
+        for r in common_phrases(df, min_df=3, max_len=8, limit=50).collect()
+    ]
+    shallow = [
+        (r["phrase"], r["n_tokens"], r["df"])
+        for r in common_phrases(df, min_df=3, max_len=2, limit=50).collect()
+    ]
+    assert deep == shallow
+    assert ("alpha beta", 2, 6) in deep
+    # no frequent phrase at all -> empty result, no error
+    assert (
+        common_phrases(df, min_df=99, max_len=8, limit=50).count() == 0
+    )

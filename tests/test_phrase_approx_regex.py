@@ -182,3 +182,31 @@ def test_extend_left_and_suggest(engine, oracle_sf001):
     ch = next(iter(first_chars))
     rows3 = engine.suggest(ch + "000", 10).collect()
     assert rows3 and all(r["matched_prefix"] == ch for r in rows3)
+
+
+def test_suggest_hostile_probe(engine, oracle_sf001):
+    """Quotes / LIKE metacharacters / regex chars in the probe must be
+    treated as literals (empty-or-correct), never an AnalysisException
+    (regression: the LIKE f-string broke on ' and wildcarded on %/_)."""
+    vocab = set(oracle_sf001.postings)
+
+    def want_prefix(p):
+        return next(
+            (
+                p[:i]
+                for i in range(len(p), 0, -1)
+                if any(t.startswith(p[:i]) for t in vocab)
+            ),
+            None,
+        )
+
+    for probe in ["mer'ge", 'mer"ge', "mer%", "mer_", "m%'--", "mer\\ge"]:
+        rows = engine.suggest(probe, 10).collect()
+        wp = want_prefix(probe)
+        assert rows and all(r["matched_prefix"] == wp for r in rows), probe
+        assert {r["term"] for r in rows} <= {
+            t for t in vocab if t.startswith(wp)
+        }, probe
+    # a probe whose FIRST char is hostile -> empty, no exception
+    assert engine.suggest("'merge", 10).count() == 0
+    assert engine.suggest("%", 10).count() == 0
