@@ -367,19 +367,24 @@ def build_index(
             fields = corpus.select(
                 F.col(id_col).alias("doc_id"), *[F.col(c) for c in field_cols]
             )
-            doc_lens = (
-                toks.select("doc_id", F.size("tokens").alias("dl"))
-                .join(fields, "doc_id")
-                .persist()
-            )
+            doc_lens = toks.select(
+                "doc_id", F.size("tokens").alias("dl")
+            ).join(fields, "doc_id")
         else:
-            doc_lens = toks.select("doc_id", F.size("tokens").alias("dl")).persist()
-        doc_lens.write.mode("overwrite").parquet(docs_path)
-        stats_row = doc_lens.agg(
-            F.count("*").alias("n_docs"),
+            doc_lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+        # corpus stats piggyback on the write job via an Observation —
+        # the former persist + separate agg action was a whole extra
+        # pass (and a cache pin) per build just to learn two numbers
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_stats")
+        doc_lens = doc_lens.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
-        doc_lens.unpersist()
+        )
+        doc_lens.write.mode("overwrite").parquet(docs_path)
+        stats_row = obs.get
         n_docs = int(stats_row["n_docs"])
         total_tokens = int(stats_row["total_tokens"] or 0)
         stats = {
@@ -439,22 +444,40 @@ def build_index(
             partials = spark.read.parquet(partials_path)
         except Exception:  # empty corpus → schema-less parquet dir
             partials = spark.createDataFrame([], PARTIAL_SCHEMA)
-        partials = partials.withColumn(
-            "bucket", F.pmod(F.col("term_hash"), F.lit(n_buckets)).cast("int")
+        # merge parallelism scales with the cluster, NOT with n_buckets:
+        # each bucket splits into k = ceil(n_part / n_buckets) slices by
+        # a hash of the merge-group key (term_hash, grp) — every group
+        # stays whole, every task is bucket-pure (so the
+        # partitionBy(bucket) write stays one-file-per-task), and the
+        # slice count scales with the cluster. Placement uses exact
+        # steering values (steering.py) instead of repartitionByRange:
+        # the old range exchange ran a SAMPLING JOB that executed the
+        # full partials scan (blobs included) just to learn boundaries a
+        # pure function of the key already determines — a fixed serial
+        # cost at every scale. (Round-1's repartition(n_buckets,
+        # "bucket") capped the merge at 16 tasks; round-2's range
+        # repartition paid the sampling pass.)
+        from .steering import steering_values
+
+        k_slices = max(1, -(-n_part // n_buckets))
+        n_merge = n_buckets * k_slices
+        magics = steering_values(n_merge)
+        pid = (
+            F.pmod(F.col("term_hash"), F.lit(n_buckets)).cast("int")
+            * k_slices
+            + F.pmod(
+                F.xxhash64(F.col("term_hash"), F.col("grp")), F.lit(k_slices)
+            ).cast("int")
         )
-        # merge parallelism scales with the cluster, NOT with n_buckets: a
-        # range repartition on (bucket, term_hash, grp) slices each bucket
-        # into many merge tasks while keeping every (term_hash, grp) group
-        # whole and each task's rows (near-)bucket-pure, so the
-        # partitionBy(bucket) write stays one-file-per-task-per-bucket.
-        # (The old repartition(n_buckets, "bucket") capped the merge stage
-        # at 16 tasks regardless of cluster size — the build's ceiling at
-        # 100× scale.)
-        n_merge = max(n_part, n_buckets)
+        steer = F.element_at(
+            F.array(*[F.lit(int(m)).cast("long") for m in magics]),
+            pid + 1,
+        )
         merged = (
-            partials.repartitionByRange(n_merge, "bucket", "term_hash", "grp")
+            partials.withColumn("_steer", steer)
+            .repartition(n_merge, "_steer")
             .sortWithinPartitions("term_hash", "grp")
-            .drop("bucket")
+            .drop("_steer")
             .mapInPandas(_make_merge_stream(shard_size, n_buckets), MERGED_SCHEMA)
         )
         # output partitions are bucket-aligned → direct partitioned write,

@@ -217,28 +217,41 @@ def main() -> int:
         ],
     )
 
-    # 10. merge stage parallelism: range repartition on (bucket, term,
-    # grp) — NOT the old 16-task repartition(n_buckets)
+    # 10. merge stage parallelism: steered hash repartition slicing each
+    # bucket into k cluster-scaling slices — NOT the old 16-task
+    # repartition(n_buckets), and NOT a range exchange (whose sampling
+    # job executed the full partials scan just to learn boundaries)
     from femto_spark.index.build import MERGED_SCHEMA, _make_merge_stream
+    from femto_spark.index.steering import steering_values
     from pyspark.sql import functions as FF
 
-    partials = spark.read.parquet(os.path.join(ix_dir, "partials")).withColumn(
-        "bucket", FF.pmod(FF.col("term_hash"), FF.lit(8)).cast("int")
+    partials = spark.read.parquet(os.path.join(ix_dir, "partials"))
+    n_bk, k_slices = 8, 4
+    n_merge = n_bk * k_slices
+    magics = steering_values(n_merge)
+    pid = FF.pmod(FF.col("term_hash"), FF.lit(n_bk)).cast(
+        "int"
+    ) * k_slices + FF.pmod(
+        FF.xxhash64(FF.col("term_hash"), FF.col("grp")), FF.lit(k_slices)
+    ).cast("int")
+    steer = FF.element_at(
+        FF.array(*[FF.lit(int(m)).cast("long") for m in magics]), pid + 1
     )
-    n_merge = 32
     merged_plan_df = (
-        partials.repartitionByRange(n_merge, "bucket", "term_hash", "grp")
+        partials.withColumn("_steer", steer)
+        .repartition(n_merge, "_steer")
         .sortWithinPartitions("term_hash", "grp")
-        .drop("bucket")
-        .mapInPandas(_make_merge_stream(1 << 18, 8), MERGED_SCHEMA)
+        .drop("_steer")
+        .mapInPandas(_make_merge_stream(1 << 18, n_bk), MERGED_SCHEMA)
     )
     check(
         "index merge stage — parallelism beyond n_buckets",
         merged_plan_df,
         [
             (
-                "range repartition (scales with cluster, not n_buckets)",
-                lambda p: "rangepartitioning" in p.lower(),
+                "hash repartition on steering column (no sampling job)",
+                lambda p: "hashpartitioning" in p.lower()
+                and "rangepartitioning" not in p.lower(),
             ),
             (
                 f"merge task count = {n_merge} (> n_buckets)",

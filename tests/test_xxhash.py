@@ -35,3 +35,44 @@ def test_term_bucket_matches_spark(spark):
     }
     for t in terms:
         assert term_bucket(t, 16) == got[t], t
+
+
+def test_murmur3_hash_long_matches_spark(spark):
+    """steering.hash_long must equal F.hash on a single BIGINT column —
+    exact shuffle steering depends on it."""
+    from pyspark.sql import functions as F
+
+    from femto_spark.index.steering import hash_long
+
+    vals = [0, 1, -1, 42, 2**33, -(2**40), 123456789012345, -987654321,
+            2**63 - 1, -(2**63)]
+    rows = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert hash_long(v) == rows[v], v
+
+
+def test_steering_values_land_exactly(spark):
+    """repartition(n, steer_col) must place pid i's rows in partition i."""
+    from pyspark.sql import functions as F
+
+    from femto_spark.index.steering import steering_values
+
+    n = 24
+    magics = steering_values(n)
+    df = spark.range(n).select(F.col("id").cast("int").alias("pid"))
+    steer = F.element_at(
+        F.array(*[F.lit(int(m)).cast("long") for m in magics]),
+        F.col("pid") + 1,
+    )
+    parts = (
+        df.withColumn("_steer", steer)
+        .repartition(n, "_steer")
+        .withColumn("part", F.spark_partition_id())
+        .collect()
+    )
+    assert all(r["pid"] == r["part"] for r in parts)
