@@ -19,7 +19,7 @@ lifting MAP-SIDE and *no strings in the hot path*:
            partitionBy(bucket) — the merge shuffle IS the final layout,
            blobs move exactly once                          [INDEX]
       ▼
-  side tables: vocab/ (term_hash → term, collision-asserted), docs/,
+  side tables: vocab/ (term_hash → term, collisions re-keyed), docs/,
   stats.json, termstats/, manifest/                         [HEADER]
 
 Term strings never cross the JVM↔Python boundary during the build (an
@@ -28,8 +28,10 @@ to Python objects dominated the build and did not scale past 8 cores).
 Queries hash their terms driver-side with the Spark-parity XXH64
 (femto_spark.xxhash), so the index is keyed by term_hash end-to-end; the
 vocab table exists for prefix operations (extend) and reporting. 64-bit
-collisions are asserted absent at build time (for 10^9+ vocabularies,
-widen to 128-bit by pairing xxhash64 with a second seed).
+collisions (a 10^9+-vocabulary certainty, but O(1) MANY by the birthday
+bound) are detected at build time and the colliding terms re-keyed —
+see the term-hashing section below; collisions.json carries the remap
+to query time.
 
 Skew (the north rule's named concern): the merge task for a hot term is
 bounded TWO ways — `grp = doc_id >> range_shift` splits every term's
@@ -276,27 +278,208 @@ def _fresh(path: str) -> None:
         shutil.rmtree(path)
 
 
-def build_vocab(spark: SparkSession, toks: DataFrame, vocab_path: str) -> int:
-    """Distinct (term_hash, term) side table; asserts no 64-bit collision.
-    JVM-only: explode → partial-agg distinct → write. Returns vocab size."""
-    _fresh(vocab_path)
-    vocab = (
-        toks.select(F.explode("tokens").alias("term"))
-        .distinct()
-        .withColumn("term_hash", F.xxhash64("term"))
-    )
-    vocab.write.mode("overwrite").parquet(vocab_path)
-    v = spark.read.parquet(vocab_path)
-    row = v.agg(
-        F.count("*").alias("n"), F.countDistinct("term_hash").alias("h")
-    ).collect()[0]
-    n_terms, n_hashes = int(row["n"]), int(row["h"])
-    if n_terms != n_hashes:
-        raise RuntimeError(
-            f"xxhash64 term collision detected ({n_terms} terms, {n_hashes} "
-            "hashes) — widen to 128-bit hashing"
+# ---------------------------------------------------------------------------
+# term hashing + collision remapping (the 10^9-vocabulary path)
+#
+# The index key is a single int64 (xxhash64 of the term) — shuffle rows,
+# posting rows, and query lookups all stay one word wide. At web-scale
+# vocabularies a 64-bit hash *will* collide eventually (expected number of
+# collisions = |V|^2 / 2^65 — about 0.03 at 10^9 terms, ~3 at 10^10), but
+# the collision COUNT stays O(1) far past any real vocabulary, so the
+# right engineering is not to double every key to 128 bits (2× shuffle
+# width on every build, colliding or not — the reference budgets key bits
+# the same way, 39 bits for ~5×10^11 docs, src/dcx_cc/index_tool.cc:45-46)
+# but to RE-KEY the handful of colliding terms: detection is one tiny
+# distributed groupBy, resolution assigns salted hashes driver-side, the
+# remap ships as a few CASE arms inside the JVM tokenize expression and as
+# collisions.json for query-time parity. `hash_mask` narrows the hash
+# space so tests can force collisions without 10^9 terms.
+# ---------------------------------------------------------------------------
+
+from ..xxhash import xxhash64 as _xxh64  # Spark-parity, bit-verified
+
+
+def hash_term_py(term: str, mask: int | None = None) -> int:
+    """Driver-side natural term hash == JVM `xxhash64(term)` (pmod-masked
+    when a hash_mask is set)."""
+    h = _xxh64(term.encode("utf-8"))
+    return h % (mask + 1) if mask else h
+
+
+def _salted_hash_py(term: str, salt: int, mask: int | None) -> int:
+    """Deterministic re-key candidate chain for colliding terms. Only ever
+    computed driver-side for the O(1) colliding set; the chosen value is
+    shipped as a literal (CASE arm / collisions.json), so no JVM parity
+    form is needed."""
+    h = _xxh64(term.encode("utf-8") + b"\x00" + salt.to_bytes(4, "little"))
+    return h % (mask + 1) if mask else h
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def token_hash_sql(
+    mask: int | None = None,
+    remap: dict[str, int] | None = None,
+    col: str = "t",
+) -> str:
+    """SQL expression hashing one token variable/column `col` → effective
+    term hash: the natural xxhash64 (masked if configured) with one CASE
+    arm per remapped (colliding) term. Stays in whole-stage codegen — the
+    remap is O(1) literal string compares."""
+    base = f"pmod(xxhash64({col}), {mask + 1}L)" if mask else f"xxhash64({col})"
+    if remap:
+        whens = " ".join(
+            f"WHEN {col} = {_sql_str(t)} THEN {h}L" for t, h in sorted(remap.items())
         )
-    return n_terms
+        return f"CASE {whens} ELSE {base} END"
+    return base
+
+
+def thash_expr(mask: int | None = None, remap: dict[str, int] | None = None) -> str:
+    """`transform(tokens, ...)` form of token_hash_sql for the encode."""
+    return f"transform(tokens, t -> {token_hash_sql(mask, remap)})"
+
+
+def load_remap(index_dir: str) -> dict[str, int]:
+    """collisions.json → {term: effective_hash}; empty if collision-free."""
+    try:
+        with open(os.path.join(index_dir, "collisions.json")) as f:
+            return {t: int(h) for t, h in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def resolve_collisions(
+    vocab: DataFrame,
+    mask: int | None,
+    fixed_df: DataFrame | None = None,
+    prior: dict[str, int] | None = None,
+) -> dict[str, int]:
+    """Given a vocab DataFrame (term, term_hash with any prior remap
+    already applied), detect colliding hash groups and assign fresh
+    effective hashes to all but one member of each group. Terms present
+    in `fixed_df` (already indexed — their postings live under their
+    current hash) are never re-keyed; among free members the
+    lexicographically smallest keeps the hash. Uniqueness of the salted
+    candidates is verified against the FULL vocab with an isin filter job,
+    and fixedness with an isin probe on the colliding terms (never a
+    driver-side set of all terms — vocab may be 10^9 rows); the colliding
+    set itself is O(1) by the birthday bound, so the collects are tiny."""
+    dup = (
+        vocab.groupBy("term_hash")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("term_hash")
+    )
+    groups_rows = vocab.join(F.broadcast(dup), "term_hash").collect()
+    if not groups_rows:
+        return dict(prior or {})
+    fixed_terms: set[str] = set()
+    if fixed_df is not None:
+        coll_terms = [r["term"] for r in groups_rows]
+        fixed_terms = {
+            r["term"]
+            for r in fixed_df.filter(F.col("term").isin(coll_terms)).collect()
+        }
+    by_hash: dict[int, list[str]] = {}
+    for r in groups_rows:
+        by_hash.setdefault(int(r["term_hash"]), []).append(r["term"])
+    remap = dict(prior or {})
+    need: list[str] = []
+    for h in sorted(by_hash):
+        terms = sorted(by_hash[h])
+        anchored = [t for t in terms if t in fixed_terms]
+        if len(anchored) > 1:
+            raise RuntimeError(
+                f"irreconcilable collision among already-indexed terms {anchored}"
+            )
+        keep = anchored[0] if anchored else terms[0]
+        need.extend(t for t in terms if t != keep)
+    salt = {t: 1 for t in need}
+    attempts = 0
+    while need:
+        attempts += 1
+        if attempts > 10_000:
+            raise RuntimeError(
+                f"cannot re-key {len(need)} colliding terms — hash space "
+                "too small for the vocabulary (raise hash_mask)"
+            )
+        cand = {t: _salted_hash_py(t, salt[t], mask) for t in need}
+        # reject candidates colliding with vocab (one tiny filter job),
+        # with each other, or with hashes already assigned in the remap
+        hits = {
+            int(r["term_hash"])
+            for r in vocab.filter(
+                F.col("term_hash").isin(list(cand.values()))
+            ).collect()
+        }
+        taken = set(remap.values())
+        seen: set[int] = set()
+        retry: list[str] = []
+        for t in sorted(need):
+            h = cand[t]
+            if h in hits or h in taken or h in seen:
+                salt[t] += 1
+                retry.append(t)
+            else:
+                remap[t] = h
+                seen.add(h)
+        need = retry
+    return remap
+
+
+def build_vocab(
+    spark: SparkSession,
+    toks: DataFrame,
+    out_dir: str,
+    *,
+    hash_mask: int | None = None,
+    fixed_df: DataFrame | None = None,
+    prior_remap: dict[str, int] | None = None,
+) -> tuple[int, dict[str, int]]:
+    """Distinct (term, term_hash) side table with 64-bit collisions
+    re-keyed (see resolve_collisions). JVM-only explode → distinct →
+    write; n_terms rides the write via an Observation (no read-back agg
+    pass); the collision probe is one groupBy over the written vocab that
+    returns zero rows in the common case. Returns (n_terms, remap) and
+    persists the remap as collisions.json."""
+    from pyspark.sql import Observation
+
+    vocab_path = os.path.join(out_dir, "vocab")
+    _fresh(vocab_path)
+    hash_col = F.expr(token_hash_sql(hash_mask, prior_remap)).alias("term_hash")
+    vocab = (
+        toks.select(F.explode("tokens").alias("t"))
+        .distinct()
+        .select(F.col("t").alias("term"), hash_col)
+        # `t` must exist under that name for token_hash_sql; re-alias after
+        .select("term", "term_hash")
+    )
+    obs = Observation("vocab_stats")
+    vocab = vocab.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    vocab.write.mode("overwrite").parquet(vocab_path)
+    n_terms = int(obs.get["n_terms"])
+    written = spark.read.schema("term string, term_hash long").parquet(vocab_path)
+    remap = resolve_collisions(written, hash_mask, fixed_df, prior_remap)
+    if remap != dict(prior_remap or {}):
+        # rare path: rewrite vocab with the new effective hashes applied
+        arms = " ".join(
+            f"WHEN term = {_sql_str(t)} THEN {h}L" for t, h in sorted(remap.items())
+        )
+        fixed = written.withColumn(
+            "term_hash", F.expr(f"CASE {arms} ELSE term_hash END")
+        )
+        tmp = vocab_path + "_rekey"
+        _fresh(tmp)
+        fixed.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(vocab_path)
+        os.rename(tmp, vocab_path)
+    if remap:
+        with open(os.path.join(out_dir, "collisions.json"), "w") as f:
+            json.dump(remap, f)
+    return n_terms, remap
 
 
 # ---------------------------------------------------------------------------
@@ -318,6 +501,7 @@ def build_index(
     resume: bool = False,
     with_positions: bool = True,
     field_cols: list[str] | None = None,
+    hash_mask: int | None = None,
 ) -> dict:
     """Build the full index layout under `out_dir`:
 
@@ -332,6 +516,9 @@ def build_index(
         manifest/   per-partition lineage metrics   (FEMTO REPORT lines)
 
     range_shift: log2 of the doc-range group width — the merge-task bound.
+    hash_mask: narrows the term-hash space (pmod) — production leaves it
+    None (full 64-bit + collision re-keying); tests set a small mask to
+    force collisions through the re-key path with a few hundred terms.
     Returns a dict of stage timings/metrics.
     """
     os.makedirs(out_dir, exist_ok=True)
@@ -396,6 +583,7 @@ def build_index(
             "range_shift": range_shift,
             "with_positions": with_positions,
             "field_cols": list(field_cols or []),
+            "hash_mask": hash_mask,
             "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
@@ -404,13 +592,16 @@ def build_index(
         _commit(out_dir, "docs", {"secs": dt, **stats})
         report["stages"]["docs"] = dt
 
-    # ---- stage: vocab side table ------------------------------------------
+    # ---- stage: vocab side table (+ collision re-keying) ------------------
     if _stage("vocab"):
         t0 = time.time()
-        n_terms = build_vocab(spark, toks, os.path.join(out_dir, "vocab"))
+        n_terms, remap = build_vocab(spark, toks, out_dir, hash_mask=hash_mask)
         dt = time.time() - t0
-        _commit(out_dir, "vocab", {"secs": dt, "n_terms": n_terms})
+        _commit(out_dir, "vocab", {"secs": dt, "n_terms": n_terms,
+                                   "n_rekeyed": len(remap)})
         report["stages"]["vocab"] = dt
+    else:
+        remap = load_remap(out_dir)  # resumed: partials must see the remap
 
     # ---- stage: partials (map-side stage-1 encode) ------------------------
     partials_path = os.path.join(out_dir, "partials")
@@ -420,7 +611,7 @@ def build_index(
         src = toks.select(
             "doc_id",
             F.size("tokens").alias("dl"),
-            F.expr("transform(tokens, t -> xxhash64(t))").alias("thash"),
+            F.expr(thash_expr(hash_mask, remap)).alias("thash"),
         )
         if src.rdd.getNumPartitions() < n_part:
             src = src.repartition(n_part)

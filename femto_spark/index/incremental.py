@@ -41,8 +41,13 @@ from .build import (
     _commit,
     _make_encode_mapside,
     _marker,
+    _sql_str,
     build_index,
     commit_snapshot,
+    load_remap,
+    resolve_collisions,
+    thash_expr,
+    token_hash_sql,
 )
 
 
@@ -126,14 +131,65 @@ def merge_into(
 
         _sh3.rmtree(tmp)
 
-    # 1. append new partial runs (identical map-side stage-1 plan as
+    # 1. refresh the vocab side table FIRST: new terms may collide (64-bit
+    # birthday, or a test hash_mask) and must be re-keyed before any new
+    # partial run is encoded under the wrong hash. Old terms are anchored
+    # (their postings already live under their current effective hash) —
+    # only new terms ever re-key, so the existing index is never touched.
+    hash_mask = stats.get("hash_mask")
+    prior_remap = load_remap(index_dir)
+    vocab_path = os.path.join(index_dir, "vocab")
+    tmp_recover = vocab_path + "_tmp"
+    if not os.path.exists(vocab_path) and os.path.exists(tmp_recover):
+        # a previous attempt crashed between rmtree(vocab) and the rename —
+        # the tmp table is complete (written before the swap), recover it
+        os.rename(tmp_recover, vocab_path)
+    old_vocab = spark.read.parquet(vocab_path)
+    merged = (
+        old_vocab.select("term")
+        .union(toks.select(F.explode("tokens").alias("term")))
+        .distinct()
+        .select(
+            "term",
+            F.expr(
+                token_hash_sql(hash_mask, prior_remap, col="term")
+            ).alias("term_hash"),
+        )
+    )
+    tmp_vocab = vocab_path + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp_vocab)
+    v = spark.read.schema("term string, term_hash long").parquet(tmp_vocab)
+    remap = resolve_collisions(v, hash_mask, old_vocab.select("term"), prior_remap)
+    if remap != prior_remap:
+        new_arms = {t: h for t, h in remap.items() if prior_remap.get(t) != h}
+        arms = " ".join(
+            f"WHEN term = {_sql_str(t)} THEN {h}L" for t, h in sorted(new_arms.items())
+        )
+        v = v.withColumn("term_hash", F.expr(f"CASE {arms} ELSE term_hash END"))
+        tmp2 = vocab_path + "_rekey"
+        import shutil as _sh0
+
+        if os.path.exists(tmp2):
+            _sh0.rmtree(tmp2)
+        v.write.mode("overwrite").parquet(tmp2)
+        _sh0.rmtree(tmp_vocab)
+        os.rename(tmp2, tmp_vocab)
+        with open(os.path.join(index_dir, "collisions.json"), "w") as f:
+            json.dump(remap, f)
+    import shutil as _sh
+
+    _sh.rmtree(vocab_path)
+    os.rename(tmp_vocab, vocab_path)
+    _commit(index_dir, "vocab", {"appended": True, "n_rekeyed": len(remap)})
+
+    # 2. append new partial runs (identical map-side stage-1 plan as
     # build_index; new doc_ids land in fresh or trailing range groups).
     # The encode honours the index's own positions flag — appending to a
     # positions-free index must stay positions-free (ADVICE r01).
     src = toks.select(
         "doc_id",
         F.size("tokens").alias("dl"),
-        F.expr("transform(tokens, t -> xxhash64(t))").alias("thash"),
+        F.expr(thash_expr(hash_mask, remap)).alias("thash"),
     )
     if src.rdd.getNumPartitions() < n_part:
         src = src.repartition(n_part)
@@ -143,30 +199,6 @@ def merge_into(
         ),
         partials_path,
     )
-
-    # 1b. refresh the vocab side table with the new docs' terms
-    vocab_path = os.path.join(index_dir, "vocab")
-    tmp_recover = vocab_path + "_tmp"
-    if not os.path.exists(vocab_path) and os.path.exists(tmp_recover):
-        # a previous attempt crashed between rmtree(vocab) and the rename —
-        # the tmp table is complete (written before the swap), recover it
-        os.rename(tmp_recover, vocab_path)
-    old_terms = spark.read.parquet(vocab_path).select("term")
-    merged_terms = (
-        old_terms.union(toks.select(F.explode("tokens").alias("term"))).distinct()
-    )
-    tmp_vocab = vocab_path + "_tmp"
-    merged_terms.withColumn("term_hash", F.xxhash64("term")).write.mode(
-        "overwrite"
-    ).parquet(tmp_vocab)
-    v = spark.read.parquet(tmp_vocab)
-    if v.count() != v.select("term_hash").distinct().count():
-        raise RuntimeError("xxhash64 term collision after append")
-    import shutil as _sh
-
-    _sh.rmtree(vocab_path)
-    os.rename(tmp_vocab, vocab_path)
-    _commit(index_dir, "vocab", {"appended": True})
 
     # 2. append doc lens (+ the index's metadata field columns — the docs
     # table schema must stay uniform across appends), recompute stats

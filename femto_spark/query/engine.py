@@ -123,6 +123,22 @@ class SearchEngine:
         )
         self._vocab_path = os.path.join(index_dir, "vocab")
         self._stats_cache: dict[int, tuple[int, int]] = {}  # hash → (df, cf)
+        # 64-bit collision remap + optional masked hash space (build.py
+        # token_hash_sql): effective query-term hashes must match the
+        # build's re-keyed vocabulary bit-for-bit
+        from ..index.build import load_remap
+
+        self._remap = load_remap(index_dir)
+        self._hash_mask = self.stats.get("hash_mask")
+
+    def _hash(self, term: str) -> int:
+        """Effective term hash — the build's re-keyed value for colliding
+        terms, else the natural (masked) xxhash64."""
+        h = self._remap.get(term)
+        if h is not None:
+            return h
+        h = _thash(term)
+        return h % (self._hash_mask + 1) if self._hash_mask else h
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
         """Read a parquet dir; an empty build writes no schema-bearing
@@ -139,7 +155,7 @@ class SearchEngine:
     def _term_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, cf); absent terms → (0, 0). One tiny bucket-pruned
         job for uncached hashes, memoized per engine."""
-        hashes = {t: _thash(t) for t in terms}
+        hashes = {t: self._hash(t) for t in terms}
         missing = [h for h in hashes.values() if h not in self._stats_cache]
         if missing:
             rows = (
@@ -156,7 +172,7 @@ class SearchEngine:
         """Posting rows for `terms`, bucket-pruned driver-side."""
         if not terms:
             return self._index.limit(0)
-        hashes = [_thash(t) for t in terms]
+        hashes = [self._hash(t) for t in terms]
         buckets = sorted({h % self.n_buckets for h in hashes})
         return self._index.filter(
             F.col("bucket").isin(buckets) & F.col("term_hash").isin(hashes)
@@ -170,8 +186,8 @@ class SearchEngine:
         """Decoded postings DataFrame (term, doc_id, tf, dl, score)."""
         n_docs, avgdl = self.n_docs, self.avgdl
         stats = self._term_stats(terms)
-        names = {_thash(t): t for t in terms}
-        dfs = {_thash(t): stats[t][0] for t in terms}
+        names = {self._hash(t): t for t in terms}
+        dfs = {self._hash(t): stats[t][0] for t in terms}
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -227,7 +243,7 @@ class SearchEngine:
         no doc set ever visits the driver (the former plan collect()ed
         up to 10^6 ids into a frozenset shipped inside every task
         closure)."""
-        names = {_thash(t): t for t in terms}
+        names = {self._hash(t): t for t in terms}
         rows = self._term_rows(terms).select(
             "term_hash", "grp", "shard",
             "n", "tf_off", "dl_off", "postings", "positions",
@@ -482,7 +498,7 @@ class SearchEngine:
             )
         stats = self._term_stats(sorted(all_terms))
         qrows = [
-            (qid, t, _thash(t), stats[t][0]) for qid, t in pairs
+            (qid, t, self._hash(t), stats[t][0]) for qid, t in pairs
         ]
         qdf = self.spark.createDataFrame(
             qrows, "query_id string, term string, term_hash long, df long"
@@ -756,6 +772,7 @@ class SearchEngine:
         subst_cost: int = 1,
         delete_cost: int = 1,
         insert_cost: int = 1,
+        _keep_hash: bool = False,
     ) -> DataFrame:
         """FEMTO APPROX (QUERY_FORMAT.txt:129-161): vocabulary terms with
         weighted edit distance ≤ max_edits — (term, dist, df), ordered
@@ -807,11 +824,12 @@ class SearchEngine:
             scored = cand.select("term_hash", "term").mapInPandas(
                 _wdist, "term_hash long, term string, dist int"
             )
-        return (
-            scored.filter(F.col("dist") <= max_edits)
-            .join(self._termstats, "term_hash")
-            .select("term", "dist", "df")
-            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        out = scored.filter(F.col("dist") <= max_edits).join(
+            self._termstats, "term_hash"
+        )
+        cols = ["term_hash", "term", "dist", "df"] if _keep_hash else ["term", "dist", "df"]
+        return out.select(*cols).orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
         )
 
     def approx_docs(self, probe: str, max_edits: int = 1, **costs) -> DataFrame:
@@ -829,10 +847,9 @@ class SearchEngine:
                 F.levenshtein(F.col("term"), F.lit(probe)) <= max_edits
             )
         else:
-            matched = (
-                self.approx_terms(probe, max_edits, **costs)
-                .withColumn("term_hash", F.xxhash64("term"))
-            )
+            # vocab's EFFECTIVE hash rides through (never re-hash the
+            # term string here — re-keyed colliding terms would miss)
+            matched = self.approx_terms(probe, max_edits, _keep_hash=True, **costs)
         return self._docs_for_hashes(matched).orderBy("doc_id")
 
     def regex_docs(self, pattern: str) -> DataFrame:

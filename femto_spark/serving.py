@@ -71,6 +71,19 @@ class LocalSearcher:
         self._stats_cache: dict[int, tuple[int, int]] = {}
         self._row_cache: OrderedDict[int, list[dict]] = OrderedDict()
         self._cache_terms = cache_terms
+        # effective-hash parity with the build (collision re-keying /
+        # masked hash space — index/build.py token_hash_sql)
+        from .index.build import load_remap
+
+        self._remap = load_remap(index_dir)
+        self._hash_mask = self.stats.get("hash_mask")
+
+    def _hash(self, term: str) -> int:
+        h = self._remap.get(term)
+        if h is not None:
+            return h
+        h = _thash(term)
+        return h % (self._hash_mask + 1) if self._hash_mask else h
 
     def _doc_filter(self, where: dict) -> np.ndarray:
         """Sorted doc_ids matching a metadata-field filter (the index must
@@ -162,11 +175,11 @@ class LocalSearcher:
     def count(self, term: str) -> list[tuple[str, int, int]]:
         """[(term, n_docs, n_occurrences)] — header lookup only."""
         terms = sorted(set(tokenize(term)))
-        st = self._term_stats([_thash(t) for t in terms])
+        st = self._term_stats([self._hash(t) for t in terms])
         return [
-            (t, st[_thash(t)][0], st[_thash(t)][1])
+            (t, st[self._hash(t)][0], st[self._hash(t)][1])
             for t in terms
-            if st[_thash(t)][0] > 0
+            if st[self._hash(t)][0] > 0
         ]
 
     def search(
@@ -183,7 +196,7 @@ class LocalSearcher:
         terms = sorted(set(tokenize(query)))
         if not terms:
             return []
-        hashes = [_thash(t) for t in terms]
+        hashes = [self._hash(t) for t in terms]
         st = self._term_stats(hashes)
         # ascending-term accumulation over the union doc set
         per_term = []
@@ -228,7 +241,7 @@ class LocalSearcher:
         terms = sorted(set(tokenize(query)))
         if not terms:
             return []
-        hashes = [_thash(t) for t in terms]
+        hashes = [self._hash(t) for t in terms]
         st = self._term_stats(hashes)
         names = {h: t for t, h in zip(terms, hashes)}
         rows = self._rows([h for h in hashes if st[h][0] > 0])
