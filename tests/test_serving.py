@@ -76,3 +76,60 @@ def test_fielded_where_filter(spark, tmp_path, docs_sf001, oracle_sf001):
         if langs[d] == "en"
     ][:10]
     assert got == want
+
+
+def test_proximity_matches_engine(searcher, engine):
+    """THEN/WITHIN served locally must equal the Spark engine exactly."""
+    cases = [
+        ("data", "table", 3, True),
+        ("data", "table", 3, False),
+        ("the", "merge", 5, True),
+        ("slow", "fast", 8, False),
+        ("zzznope", "data", 4, True),
+    ]
+    for left, right, d, ordered in cases:
+        got = searcher.proximity(left, right, d, ordered)
+        exp = [
+            (r["doc_id"], r["offset"])
+            for r in engine.proximity(left, right, d, ordered).collect()
+        ]
+        assert got == exp, (left, right, d, ordered)
+
+
+def test_phrase_matches_engine(searcher, engine):
+    for q in ["data table", "table scan merge", "the the", "zzznope data"]:
+        got = sorted(searcher.phrase(q))
+        exp = sorted(
+            (r["doc_id"], r["n_matches"], r["first_pos"])
+            for r in engine.phrase(q).collect()
+        )
+        assert got == exp, q
+
+
+def test_positions_plane_latency(searcher):
+    searcher.proximity("data", "table", 3, True)  # warm
+    searcher.phrase("data table")
+    import time as _t
+
+    t0 = _t.time()
+    for _ in range(20):
+        searcher.proximity("data", "table", 3, True)
+        searcher.phrase("data table")
+    per = (_t.time() - t0) / 40
+    assert per < 0.01, f"warm positions query took {per * 1e3:.1f} ms"
+
+
+def test_infix_matches_engine(searcher, engine):
+    """Serving-plane infix must equal the Spark engine's index-answered
+    path across the full supported subset (classes, quantifiers,
+    boundaries, alternation/groups)."""
+    pats = [
+        "erge.fas", "erge fas", "merge", "a.a", "s[cl]an", "mer+ge",
+        " able", ".able", " able ", "able ", "e ",
+        "merge (fast|slow)", "s(can|low)", "merge|scan",
+        "(able|data) ta.le", "x(y|z)?a",
+    ]
+    for pat in pats:
+        got = searcher.infix_docs(pat)
+        exp = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
+        assert got == exp, pat
