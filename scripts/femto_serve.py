@@ -9,6 +9,9 @@ Usage:
     python scripts/femto_serve.py INDEX_DIR --query "data table" [--k 10]
     python scripts/femto_serve.py INDEX_DIR --repl
     python scripts/femto_serve.py INDEX_DIR --bench "data table scan" --n 100
+    python scripts/femto_serve.py INDEX_DIR --protocol   # femto.c generic
+        # request API: string_rows* / find_strings / docs_for_range /
+        # find_docs request lines on stdin -> JSON lines on stdout
 """
 
 from __future__ import annotations
@@ -30,7 +33,18 @@ def main() -> int:
     ap.add_argument("--repl", action="store_true", help="interactive loop")
     ap.add_argument("--bench", help="time a query repeatedly")
     ap.add_argument("--n", type=int, default=100, help="bench repetitions")
+    ap.add_argument(
+        "--protocol",
+        action="store_true",
+        help="generic request protocol loop (femto.c JSON responses)",
+    )
     args = ap.parse_args()
+
+    if args.protocol:
+        from femto_spark.protocol import serve_stdio
+
+        serve_stdio(args.index_dir)
+        return 0
 
     from femto_spark.serving import LocalSearcher
 
