@@ -47,9 +47,11 @@ records per-partition lineage metrics (FEMTO's `REPORT DISK_BYTES_*`
 lines, `dcx.hh:6148-6157`). `build_index(..., resume=True)` skips
 committed stages — kill/rerun equals one-shot (tests/test_resume.py).
 
-Storage is Parquet partitioned by `bucket` — standing in for an Iceberg
-`bucket(term)` partition transform; swap the writes for `writeTo(...)`
-when a catalog is configured.
+Storage is Parquet partitioned by `bucket` (an Iceberg `bucket(term)`
+partition transform in spirit); `catalog_table=` swaps every queryable
+table's write to the DataSource-V2 `writeTo` API (TableIO below) — point
+it at an Iceberg catalog for snapshot-isolated appends, compaction and
+time travel; parquet dirs remain the default and the serving layout.
 """
 
 from __future__ import annotations
@@ -279,6 +281,75 @@ def _fresh(path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# storage indirection — parquet dirs or a Spark catalog (Iceberg-ready)
+# ---------------------------------------------------------------------------
+
+
+class TableIO:
+    """Where the index's queryable tables live.
+
+    Parquet mode (default): `<out_dir>/<name>` directories — the native
+    layout the serving plane (pyarrow) reads directly.
+
+    Catalog mode (`catalog_table="db.myindex"` or any catalog-qualified
+    prefix): every queryable table goes through the DataSource-V2
+    `writeTo` API as `<catalog_table>_<name>` — point the prefix at an
+    Iceberg catalog (spark.sql.catalog.* configs + iceberg-spark-runtime
+    on the classpath) and the index tables get snapshot isolation on
+    appends, compaction, and time travel with NO code change here; the
+    session catalog (tested) exercises the identical code path. Control
+    files (stats.json, collisions.json, stage markers, snapshots.json)
+    stay in `out_dir` in both modes; build scratch (partials/) is always
+    parquet. The serving plane reads the parquet layout — catalog mode
+    targets the Spark query plane."""
+
+    def __init__(self, out_dir: str, catalog_table: str | None = None,
+                 provider: str = "parquet"):
+        self.out_dir = out_dir
+        self.catalog_table = catalog_table
+        self.provider = provider
+
+    def table(self, name: str) -> str | None:
+        return f"{self.catalog_table}_{name}" if self.catalog_table else None
+
+    def replace(self, df: DataFrame, name: str, partition_by: str | None = None):
+        if self.catalog_table:
+            w = df.writeTo(self.table(name)).using(self.provider)
+            if partition_by:
+                w = w.partitionedBy(F.col(partition_by))
+            try:
+                w.createOrReplace()  # atomic on V2 catalogs (Iceberg RTAS)
+            except Exception:
+                # V1 session catalog: no REPLACE TABLE AS SELECT — degrade
+                # to drop + create (non-atomic, test-path only)
+                df.sparkSession.sql(
+                    f"DROP TABLE IF EXISTS {self.table(name)}"
+                )
+                w.create()
+            return
+        path = os.path.join(self.out_dir, name)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+
+    def append(self, df: DataFrame, name: str):
+        if self.catalog_table:
+            try:
+                df.writeTo(self.table(name)).append()  # V2 transactional
+            except Exception:
+                # V1 session catalog tables reject the V2 write path
+                df.write.mode("append").saveAsTable(self.table(name))
+        else:
+            df.write.mode("append").parquet(os.path.join(self.out_dir, name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        if self.catalog_table:
+            return spark.table(self.table(name))
+        return spark.read.parquet(os.path.join(self.out_dir, name))
+
+
+# ---------------------------------------------------------------------------
 # term hashing + collision remapping (the 10^9-vocabulary path)
 #
 # The index key is a single int64 (xxhash64 of the term) — shuffle rows,
@@ -438,6 +509,7 @@ def build_vocab(
     hash_mask: int | None = None,
     fixed_df: DataFrame | None = None,
     prior_remap: dict[str, int] | None = None,
+    io: TableIO | None = None,
 ) -> tuple[int, dict[str, int]]:
     """Distinct (term, term_hash) side table with 64-bit collisions
     re-keyed (see resolve_collisions). JVM-only explode → distinct →
@@ -447,8 +519,9 @@ def build_vocab(
     persists the remap as collisions.json."""
     from pyspark.sql import Observation
 
-    vocab_path = os.path.join(out_dir, "vocab")
-    _fresh(vocab_path)
+    io = io or TableIO(out_dir)
+    if not io.catalog_table:
+        _fresh(os.path.join(out_dir, "vocab"))
     hash_col = F.expr(token_hash_sql(hash_mask, prior_remap)).alias("term_hash")
     vocab = (
         toks.select(F.explode("tokens").alias("t"))
@@ -459,9 +532,9 @@ def build_vocab(
     )
     obs = Observation("vocab_stats")
     vocab = vocab.observe(obs, F.count(F.lit(1)).alias("n_terms"))
-    vocab.write.mode("overwrite").parquet(vocab_path)
+    io.replace(vocab, "vocab")
     n_terms = int(obs.get["n_terms"])
-    written = spark.read.schema("term string, term_hash long").parquet(vocab_path)
+    written = io.read(spark, "vocab")
     remap = resolve_collisions(written, hash_mask, fixed_df, prior_remap)
     if remap != dict(prior_remap or {}):
         # rare path: rewrite vocab with the new effective hashes applied
@@ -471,11 +544,19 @@ def build_vocab(
         fixed = written.withColumn(
             "term_hash", F.expr(f"CASE {arms} ELSE term_hash END")
         )
-        tmp = vocab_path + "_rekey"
-        _fresh(tmp)
-        fixed.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(vocab_path)
-        os.rename(tmp, vocab_path)
+        if io.catalog_table:
+            # table replace is atomic (no tmp-dir swap dance); the
+            # localCheckpoint breaks the read-from-the-table-being-
+            # replaced cycle for non-snapshotting providers — an Iceberg
+            # catalog pins the old snapshot and would not need it
+            io.replace(fixed.localCheckpoint(), "vocab")
+        else:
+            vocab_path = os.path.join(out_dir, "vocab")
+            tmp = vocab_path + "_rekey"
+            _fresh(tmp)
+            fixed.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(vocab_path)
+            os.rename(tmp, vocab_path)
     if remap:
         with open(os.path.join(out_dir, "collisions.json"), "w") as f:
             json.dump(remap, f)
@@ -502,6 +583,7 @@ def build_index(
     with_positions: bool = True,
     field_cols: list[str] | None = None,
     hash_mask: int | None = None,
+    catalog_table: str | None = None,
 ) -> dict:
     """Build the full index layout under `out_dir`:
 
@@ -523,6 +605,7 @@ def build_index(
     """
     os.makedirs(out_dir, exist_ok=True)
     report: dict = {"stages": {}}
+    io = TableIO(out_dir, catalog_table)
 
     def _stage(name):
         return not (resume and _committed(out_dir, name))
@@ -546,7 +629,8 @@ def build_index(
     docs_path = os.path.join(out_dir, "docs")
     if _stage("docs"):
         t0 = time.time()
-        _fresh(docs_path)
+        if not catalog_table:
+            _fresh(docs_path)
         if field_cols:
             # indexed metadata fields ride along in the docs table — one
             # extra projection, zero extra shuffles; queries filter on
@@ -570,7 +654,7 @@ def build_index(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
         )
-        doc_lens.write.mode("overwrite").parquet(docs_path)
+        io.replace(doc_lens, "docs")
         stats_row = obs.get
         n_docs = int(stats_row["n_docs"])
         total_tokens = int(stats_row["total_tokens"] or 0)
@@ -584,6 +668,7 @@ def build_index(
             "with_positions": with_positions,
             "field_cols": list(field_cols or []),
             "hash_mask": hash_mask,
+            "catalog_table": catalog_table,
             "format_version": FORMAT_VERSION,
         }
         with open(os.path.join(out_dir, "stats.json"), "w") as f:
@@ -595,7 +680,9 @@ def build_index(
     # ---- stage: vocab side table (+ collision re-keying) ------------------
     if _stage("vocab"):
         t0 = time.time()
-        n_terms, remap = build_vocab(spark, toks, out_dir, hash_mask=hash_mask)
+        n_terms, remap = build_vocab(
+            spark, toks, out_dir, hash_mask=hash_mask, io=io
+        )
         dt = time.time() - t0
         _commit(out_dir, "vocab", {"secs": dt, "n_terms": n_terms,
                                    "n_rekeyed": len(remap)})
@@ -630,7 +717,8 @@ def build_index(
     index_path = os.path.join(out_dir, "index")
     if _stage("index"):
         t0 = time.time()
-        _fresh(index_path)
+        if not catalog_table:
+            _fresh(index_path)
         try:
             partials = spark.read.parquet(partials_path)
         except Exception:  # empty corpus → schema-less parquet dir
@@ -673,7 +761,7 @@ def build_index(
         )
         # output partitions are bucket-aligned → direct partitioned write,
         # exactly one blob shuffle in the whole build
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(index_path)
+        io.replace(merged, "index", partition_by="bucket")
         dt = time.time() - t0
         _commit(out_dir, "index", {"secs": dt})
         report["stages"]["index"] = dt
@@ -682,25 +770,22 @@ def build_index(
     if _stage("termstats"):
         t0 = time.time()
         try:
-            ix = spark.read.parquet(index_path)
+            ix = io.read(spark, "index")
         except Exception:  # empty corpus
             ix = spark.createDataFrame([], MERGED_SCHEMA)
-        ts_path = os.path.join(out_dir, "termstats")
-        _fresh(ts_path)
-        (
-            ix.groupBy("term_hash")
-            .agg(
+        if not catalog_table:
+            _fresh(os.path.join(out_dir, "termstats"))
+            _fresh(os.path.join(out_dir, "manifest"))
+        io.replace(
+            ix.groupBy("term_hash").agg(
                 F.sum("n").alias("df"),
                 F.sum("cf").alias("cf"),
                 F.count("*").alias("n_shards"),
-            )
-            .write.mode("overwrite")
-            .parquet(ts_path)
+            ),
+            "termstats",
         )
         # per-partition lineage manifest (FEMTO REPORT analogue)
-        man_path = os.path.join(out_dir, "manifest")
-        _fresh(man_path)
-        (
+        io.replace(
             ix.groupBy("bucket")
             .agg(
                 F.count("*").alias("n_rows"),
@@ -710,9 +795,8 @@ def build_index(
                 F.sum(F.length("positions")).alias("position_bytes"),
             )
             .withColumn("stage", F.lit("index"))
-            .withColumn("status", F.lit("committed"))
-            .write.mode("overwrite")
-            .parquet(man_path)
+            .withColumn("status", F.lit("committed")),
+            "manifest",
         )
         dt = time.time() - t0
         _commit(out_dir, "termstats", {"secs": dt})

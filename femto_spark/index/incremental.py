@@ -77,6 +77,9 @@ def merge_into(
     range_shift = int(stats["range_shift"])
     with_positions = bool(stats.get("with_positions", True))
     n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from .build import TableIO
+
+    io = TableIO(index_dir, stats.get("catalog_table"))
 
     if run_id is not None and os.path.exists(
         os.path.join(index_dir, f"_RUN_{run_id}_DONE")
@@ -95,7 +98,7 @@ def merge_into(
                         os.remove(os.path.join(d, fn))
 
     # disjointness check against the existing docs table (cheap agg)
-    old_max = spark.read.parquet(docs_path).agg(F.max("doc_id")).collect()[0][0]
+    old_max = io.read(spark, "docs").agg(F.max("doc_id")).collect()[0][0]
     new_min = new_corpus.agg(F.min(F.col(id_col))).collect()[0][0]
     if old_max is not None and new_min is not None and new_min <= old_max:
         raise ValueError(
@@ -140,11 +143,13 @@ def merge_into(
     prior_remap = load_remap(index_dir)
     vocab_path = os.path.join(index_dir, "vocab")
     tmp_recover = vocab_path + "_tmp"
-    if not os.path.exists(vocab_path) and os.path.exists(tmp_recover):
-        # a previous attempt crashed between rmtree(vocab) and the rename —
-        # the tmp table is complete (written before the swap), recover it
-        os.rename(tmp_recover, vocab_path)
-    old_vocab = spark.read.parquet(vocab_path)
+    if not io.catalog_table:
+        if not os.path.exists(vocab_path) and os.path.exists(tmp_recover):
+            # a previous attempt crashed between rmtree(vocab) and the
+            # rename — the tmp table is complete (written before the
+            # swap), recover it
+            os.rename(tmp_recover, vocab_path)
+    old_vocab = io.read(spark, "vocab")
     merged = (
         old_vocab.select("term")
         .union(toks.select(F.explode("tokens").alias("term")))
@@ -156,30 +161,54 @@ def merge_into(
             ).alias("term_hash"),
         )
     )
-    tmp_vocab = vocab_path + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp_vocab)
-    v = spark.read.schema("term string, term_hash long").parquet(tmp_vocab)
-    remap = resolve_collisions(v, hash_mask, old_vocab.select("term"), prior_remap)
-    if remap != prior_remap:
-        new_arms = {t: h for t, h in remap.items() if prior_remap.get(t) != h}
-        arms = " ".join(
-            f"WHEN term = {_sql_str(t)} THEN {h}L" for t, h in sorted(new_arms.items())
+    if io.catalog_table:
+        # snapshotting table replace — no tmp-dir swap protocol needed
+        # (localCheckpoint breaks the self-read cycle for providers
+        # without snapshot isolation; Iceberg would pin the old snapshot)
+        v = merged.localCheckpoint()
+        remap = resolve_collisions(
+            v, hash_mask, old_vocab.select("term"), prior_remap
         )
-        v = v.withColumn("term_hash", F.expr(f"CASE {arms} ELSE term_hash END"))
-        tmp2 = vocab_path + "_rekey"
-        import shutil as _sh0
+        if remap != prior_remap:
+            new_arms = {t: h for t, h in remap.items() if prior_remap.get(t) != h}
+            arms = " ".join(
+                f"WHEN term = {_sql_str(t)} THEN {h}L"
+                for t, h in sorted(new_arms.items())
+            )
+            v = v.withColumn(
+                "term_hash", F.expr(f"CASE {arms} ELSE term_hash END")
+            )
+            with open(os.path.join(index_dir, "collisions.json"), "w") as f:
+                json.dump(remap, f)
+        io.replace(v, "vocab")
+    else:
+        tmp_vocab = vocab_path + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp_vocab)
+        v = spark.read.schema("term string, term_hash long").parquet(tmp_vocab)
+        remap = resolve_collisions(
+            v, hash_mask, old_vocab.select("term"), prior_remap
+        )
+        if remap != prior_remap:
+            new_arms = {t: h for t, h in remap.items() if prior_remap.get(t) != h}
+            arms = " ".join(
+                f"WHEN term = {_sql_str(t)} THEN {h}L"
+                for t, h in sorted(new_arms.items())
+            )
+            v = v.withColumn("term_hash", F.expr(f"CASE {arms} ELSE term_hash END"))
+            tmp2 = vocab_path + "_rekey"
+            import shutil as _sh0
 
-        if os.path.exists(tmp2):
-            _sh0.rmtree(tmp2)
-        v.write.mode("overwrite").parquet(tmp2)
-        _sh0.rmtree(tmp_vocab)
-        os.rename(tmp2, tmp_vocab)
-        with open(os.path.join(index_dir, "collisions.json"), "w") as f:
-            json.dump(remap, f)
-    import shutil as _sh
+            if os.path.exists(tmp2):
+                _sh0.rmtree(tmp2)
+            v.write.mode("overwrite").parquet(tmp2)
+            _sh0.rmtree(tmp_vocab)
+            os.rename(tmp2, tmp_vocab)
+            with open(os.path.join(index_dir, "collisions.json"), "w") as f:
+                json.dump(remap, f)
+        import shutil as _sh
 
-    _sh.rmtree(vocab_path)
-    os.rename(tmp_vocab, vocab_path)
+        _sh.rmtree(vocab_path)
+        os.rename(tmp_vocab, vocab_path)
     _commit(index_dir, "vocab", {"appended": True, "n_rekeyed": len(remap)})
 
     # 2. append new partial runs (identical map-side stage-1 plan as
@@ -211,9 +240,15 @@ def merge_into(
             ),
             "doc_id",
         )
-    _append(doc_rows, docs_path)
+    if io.catalog_table:
+        # the table format's transactional append IS the idempotence
+        # story (an Iceberg append either commits a snapshot or doesn't);
+        # the _RUN marker still short-circuits replays of finished runs
+        io.append(doc_rows, "docs")
+    else:
+        _append(doc_rows, docs_path)
     srow = (
-        spark.read.parquet(docs_path)
+        io.read(spark, "docs")
         .agg(F.count("*").alias("n"), F.sum("dl").alias("tt"))
         .collect()[0]
     )
@@ -247,6 +282,8 @@ def merge_into(
         n_partitions=n_part,
         resume=True,
         with_positions=with_positions,
+        hash_mask=hash_mask,
+        catalog_table=stats.get("catalog_table"),
     )
     commit_snapshot(index_dir, "append", {"n_docs": stats["n_docs"], "run_id": run_id})
     if run_id is not None:

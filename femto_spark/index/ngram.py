@@ -40,10 +40,15 @@ def gram_hashes_py(fragment: str, prefix_anchor: bool, suffix_anchor: bool) -> l
     return [_xxh(g.encode("utf-8")) for g in sorted(grams)]
 
 
-def build_vocab_ngrams(spark: SparkSession, vocab_path: str, out_path: str) -> None:
+def build_vocab_ngrams(
+    spark: SparkSession,
+    vocab_path: str,
+    out_path: str,
+    vocab_df: DataFrame | None = None,
+) -> None:
     """Materialize the (gram_hash, term_hash) table from the vocab table.
     One pass, JVM-only (substring + xxhash64 stay in codegen)."""
-    vocab = spark.read.parquet(vocab_path)
+    vocab = vocab_df if vocab_df is not None else spark.read.parquet(vocab_path)
     padded = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
     grams = F.expr(
         f"transform(sequence(1, length(padded) - {N - 1}),"
@@ -70,7 +75,17 @@ def ensure_vocab_ngrams(spark: SparkSession, index_dir: str) -> DataFrame:
         and os.path.getmtime(marker) < os.path.getmtime(vocab_marker)
     )
     if not os.path.exists(marker) or stale:
-        build_vocab_ngrams(spark, os.path.join(index_dir, "vocab"), out)
+        from .build import TableIO
+
+        try:
+            with open(os.path.join(index_dir, "stats.json")) as f:
+                import json as _json
+
+                ct = _json.load(f).get("catalog_table")
+        except FileNotFoundError:
+            ct = None
+        vdf = TableIO(index_dir, ct).read(spark, "vocab")
+        build_vocab_ngrams(spark, os.path.join(index_dir, "vocab"), out, vocab_df=vdf)
         with open(marker, "w") as f:
             f.write("{}")
     return spark.read.parquet(out)

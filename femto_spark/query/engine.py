@@ -106,8 +106,14 @@ class SearchEngine:
         self.n_docs = int(self.stats["n_docs"])
         self.avgdl = float(self.stats["avgdl"])
         self.n_buckets = int(self.stats["n_buckets"])
+        # catalog mode (stats.json records the build's catalog_table):
+        # queryable tables read via spark.table — an Iceberg catalog
+        # gives snapshot-pinned reads; parquet paths otherwise
+        from ..index.build import TableIO
+
+        self._io = TableIO(index_dir, self.stats.get("catalog_table"))
         self._index = self._read_or_empty(
-            os.path.join(index_dir, "index"),
+            "index",
             "bucket int, grp long, shard int, term_hash long, n long, cf long,"
             " tf_off int, dl_off int, block_last_doc array<long>,"
             " block_max_tf array<long>, block_min_dl array<long>,"
@@ -115,13 +121,10 @@ class SearchEngine:
             " block_dl_off array<int>, postings binary, positions binary",
         )
         self._termstats = self._read_or_empty(
-            os.path.join(index_dir, "termstats"),
+            "termstats",
             "term_hash long, df long, cf long, n_shards long",
         )
-        self._docs = self._read_or_empty(
-            os.path.join(index_dir, "docs"), "doc_id long, dl int"
-        )
-        self._vocab_path = os.path.join(index_dir, "vocab")
+        self._docs = self._read_or_empty("docs", "doc_id long, dl int")
         self._stats_cache: dict[int, tuple[int, int]] = {}  # hash → (df, cf)
         # 64-bit collision remap + optional masked hash space (build.py
         # token_hash_sql): effective query-term hashes must match the
@@ -140,13 +143,17 @@ class SearchEngine:
         h = _thash(term)
         return h % (self._hash_mask + 1) if self._hash_mask else h
 
-    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
-        """Read a parquet dir; an empty build writes no schema-bearing
-        files, so fall back to an empty DataFrame of the known schema."""
+    def _read_or_empty(self, name: str, schema: str) -> DataFrame:
+        """Read an index table (parquet dir or catalog table); an empty
+        build writes no schema-bearing files, so fall back to an empty
+        DataFrame of the known schema."""
         try:
-            return self.spark.read.parquet(path)
+            return self._io.read(self.spark, name)
         except Exception:
             return self.spark.createDataFrame([], schema)
+
+    def _vocab(self) -> DataFrame:
+        return self._io.read(self.spark, "vocab")
 
     # ------------------------------------------------------------------ #
     # driver-side term resolution (FEMTO header-lookup analogue)          #
@@ -405,7 +412,7 @@ class SearchEngine:
 
     def termstats_df(self) -> DataFrame:
         """(term, df, cf) — the whole-index stats view (vocab join)."""
-        vocab = self.spark.read.parquet(self._vocab_path)
+        vocab = self._vocab()
         return self._termstats.join(vocab, "term_hash").select("term", "df", "cf")
 
     # ------------------------------------------------------------------ #
@@ -753,7 +760,7 @@ class SearchEngine:
         index/ngram.py). Falls back to the whole vocab when the fragment
         is too short to prune — still a distributed scan, never a
         driver-side term list."""
-        vocab = self.spark.read.parquet(self._vocab_path)
+        vocab = self._vocab()
         from ..index.ngram import ensure_vocab_ngrams, prune_terms_by_grams
 
         if len(fragment) >= 3:
@@ -955,7 +962,7 @@ class SearchEngine:
         right), 'left' → a suffix (left-extension), 'both' → an infix.
         Left/both are gram-pruned through the char-3-gram table before
         the string comparison — no full vocab scan."""
-        vocab = self.spark.read.parquet(self._vocab_path)
+        vocab = self._vocab()
         if direction == "right":
             cand = vocab.filter(F.col("term").startswith(fragment))
         else:
@@ -990,7 +997,7 @@ class SearchEngine:
         probe = probe.lower()
         if not probe:
             return self.spark.createDataFrame([], "term string, df long, matched_prefix string")
-        vocab = self.spark.read.parquet(self._vocab_path)
+        vocab = self._vocab()
         cands = vocab.filter(F.col("term").startswith(F.lit(probe[0])))
         # parameterized prefix-length CASE: startswith(lit) keeps any
         # probe byte (quotes, %/_, regex chars) a literal — no SQL text

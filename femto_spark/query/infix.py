@@ -327,7 +327,7 @@ def infix_docs(engine, pattern: str) -> DataFrame:
     answered entirely from the index. See module docstring for the
     supported subset; engine.scan_docs is the raw-text fallback/oracle."""
     spark = engine.spark
-    vocab = spark.read.parquet(engine._vocab_path)
+    vocab = engine._vocab()
     from ..index.ngram import ensure_vocab_ngrams
 
     ngrams = ensure_vocab_ngrams(spark, engine.index_dir)

@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # catalog-mode index tables (build_index catalog_table=) land in
+        # the session catalog's warehouse; keep it out of the repo root
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "FEMTO_WAREHOUSE",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".scratch", "spark-warehouse"),
+            ),
+        )
         .config("spark.eventLog.enabled", os.environ.get("FEMTO_EVENTLOG", "false"))
         .config("spark.eventLog.dir", os.environ.get("FEMTO_EVENTLOG_DIR", "/tmp"))
     )
