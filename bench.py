@@ -359,12 +359,14 @@ map-side encode, which is exactly the resource this box runs out of.
 - **Campaign A** (round 1, engine v3, 480k docs, best-of-3): build
   efficiency **1.00**, exact **0.86**, WAND **0.88** — ≥ 0.8 everywhere.
 - **Campaign B** (round 1, engine v4 vectorized encoder, 480k docs):
-  best-of build efficiency **0.44** — v4 made the job ~2× faster at both
-  levels, shrinking the parallel fraction until fixed JVM/IO overhead +
-  2.6× host-noise spread dominated at this corpus size. Raw runs:
-  local[2] 123.0/189.1/160.3/202.1/138.8 s; local[8] 183.9/104.0/70.2 s.
-  Diagnosis → rerun at a corpus size where the parallel fraction
-  dominates (this campaign).
+  best-of build efficiency **0.44** — fixed overhead + host noise
+  dominated at this corpus size; diagnosis → rerun at ≥2M docs.
+- **Campaign C / C′ / C″** (round 2, engine v5): 2M docs build 0.76 /
+  exact 0.64 / WAND 0.81 (2v8); 0.75/0.77/0.80 (1v4); 5M docs build
+  **0.90** (Amdahl fit: ~80 s fixed serial share).
+- **Campaign D** (round 3: WAND-harness exact batch, steered merge,
+  Observation-fused stats): 2M docs build **0.81**, exact **0.84**,
+  WAND **0.94**.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
