@@ -268,10 +268,18 @@ def _capped_bucket_pairs(
     the cap are unaffected, so normal corpora produce identical output."""
     # the banded table is consumed 3-5× below (bucket sizes + both join
     # sides); without a materialization barrier Spark RECOMPUTES the whole
-    # upstream signature stage per consumer (measured 20 s vs 5 s at sf0.1)
+    # upstream signature stage per consumer (measured 20 s vs 5 s at
+    # sf0.1 — exchange reuse does NOT cover the pre-shuffle mapInPandas
+    # signature stage). The explicit MEMORY_AND_DISK level SPILLS under
+    # executor memory pressure rather than pinning storage memory — at
+    # 100 TB the blocks page to local disk, which is still strictly
+    # cheaper than recomputing the signature stage per consumer; swap for
+    # a cluster-fs checkpoint only if local disks are the bottleneck.
+    from pyspark import StorageLevel
+
     cols = [F.col(c) for c in bucket_cols]
     if max_bucket is None:
-        small, star = banded.persist(), None
+        small, star = banded.persist(StorageLevel.MEMORY_AND_DISK), None
         small.count()  # eager: both self-join sides read the cache
     else:
         # bucket size via a window over the SAME partitioning the join
@@ -283,7 +291,9 @@ def _capped_bucket_pairs(
         from pyspark.sql import Window
 
         w = Window.partitionBy(*cols)
-        sized = banded.withColumn("_bn", F.count("*").over(w)).persist()
+        sized = banded.withColumn("_bn", F.count("*").over(w)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         sized.count()
         small = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
         big = sized.filter(F.col("_bn") > max_bucket).drop("_bn")
