@@ -705,7 +705,8 @@ def build_index(
         partials.write.mode("overwrite").parquet(partials_path)
         return time.time() - t0
 
-    if len(tok_stages) == 3:
+    overlap = os.environ.get("FEMTO_BUILD_OVERLAP", "1") != "0"
+    if len(tok_stages) == 3 and overlap:
         # all three token-consuming stages run → launch them from driver
         # THREADS over the shared persisted toks (Spark runs concurrent
         # jobs; the cache fills once under partition-level locks). Their
@@ -717,6 +718,11 @@ def build_index(
         # hashes: a 64-bit collision is an O(1)-per-10^9-terms event, so
         # the redo path is ~never taken in production — and IS always
         # taken under a test hash_mask, which keeps it covered.
+        # FEMTO_BUILD_OVERLAP=0 forces the sequential path: when the toks
+        # cache exceeds an executor's storage memory, three concurrent
+        # bandwidth-bound scans can thrash where sequential ones stream
+        # (measured: overlap wins at 2M docs, loses at 5M on one 128 GiB
+        # box — BENCH/BASELINE.md Campaign E/E″).
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
