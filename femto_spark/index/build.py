@@ -705,7 +705,7 @@ def build_index(
         partials.write.mode("overwrite").parquet(partials_path)
         return time.time() - t0
 
-    overlap = os.environ.get("FEMTO_BUILD_OVERLAP", "1") != "0"
+    overlap = os.environ.get("FEMTO_BUILD_OVERLAP", "0") == "1"
     if len(tok_stages) == 3 and overlap:
         # all three token-consuming stages run → launch them from driver
         # THREADS over the shared persisted toks (Spark runs concurrent
@@ -718,11 +718,14 @@ def build_index(
         # hashes: a 64-bit collision is an O(1)-per-10^9-terms event, so
         # the redo path is ~never taken in production — and IS always
         # taken under a test hash_mask, which keeps it covered.
-        # FEMTO_BUILD_OVERLAP=0 forces the sequential path: when the toks
-        # cache exceeds an executor's storage memory, three concurrent
-        # bandwidth-bound scans can thrash where sequential ones stream
-        # (measured: overlap wins at 2M docs, loses at 5M on one 128 GiB
-        # box — BENCH/BASELINE.md Campaign E/E″).
+        # OPT-IN (FEMTO_BUILD_OVERLAP=1): concurrent scans win when the
+        # toks cache fits memory (2M docs: -23%/-8% at 2/8 cores) but
+        # THRASH when it spills — a same-host A/B at 5M measured
+        # sequential 17%/14% faster at 2/8 cores (BASELINE.md Campaign
+        # E″). At deployment scale each executor's input share is far
+        # into the spill regime (100 TB / 1000 executors = 100 GB each),
+        # so sequential is the default; the overlap serves small
+        # interactive builds.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:

@@ -190,3 +190,28 @@ def test_incremental_append_anchors_old_terms(spark, collide_docs, tmp_path_fact
         exp_cf, exp_df = oracle.count(t)
         if exp_df:
             assert got_c[0]["n_docs"] == exp_df and got_c[0]["n_occurrences"] == exp_cf, t
+
+
+def test_overlapped_build_redoes_partials_on_rekey(
+    spark, collide_docs, tmp_path_factory, monkeypatch
+):
+    """FEMTO_BUILD_OVERLAP=1 encodes partials optimistically with natural
+    hashes; a masked build always collides, so the redo path must fire
+    and the result must match the sequential masked build."""
+    from femto_spark.index import build_index
+    from femto_spark.oracle import OracleIndex
+    from femto_spark.query import SearchEngine
+
+    monkeypatch.setenv("FEMTO_BUILD_OVERLAP", "1")
+    out = str(tmp_path_factory.mktemp("cxo") / "masked_ovl")
+    corpus = spark.createDataFrame(
+        list(collide_docs.items()), "doc_id long, text string"
+    )
+    rep = build_index(spark, corpus, out, n_buckets=8, hash_mask=MASK)
+    assert "partials_redo" in rep["stages"], "redo path did not fire"
+    oracle = OracleIndex(collide_docs)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    remap = json.load(open(os.path.join(out, "collisions.json")))
+    q = " ".join(sorted(remap)[:3])
+    got = [(r["doc_id"], r["score"]) for r in eng.search(q, k=10).collect()]
+    assert got == oracle.search(q, k=10)
