@@ -367,6 +367,10 @@ map-side encode, which is exactly the resource this box runs out of.
 - **Campaign D** (round 3: WAND-harness exact batch, steered merge,
   Observation-fused stats): 2M docs build **0.81**, exact **0.84**,
   WAND **0.94**.
+- **Campaign E/E″** (round 3): stage-overlap A/B — overlap wins at 2M
+  (cache-resident), loses at 5M (spill thrash) → sequential default;
+  shipped engine at 5M: build **0.83** (best-of, 4N raw spread
+  313-423 s shows the host time-sharing).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
