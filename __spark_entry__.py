@@ -123,6 +123,46 @@ def _engine(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _engine_masked(spark: SparkSession, sf_dir: str):
+    """Engine over an index built in a 64-SLOT hash space (hash_mask=63):
+    with a ~40-term vocabulary most terms COLLIDE and get re-keyed
+    (index/build.py resolve_collisions). The rekeyed entries run the same
+    probe queries against the same hash-free DuckDB oracles as the
+    normal-index entries — if the remap conflated or lost a term, counts
+    and BM25 scores would hash-mismatch."""
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+
+    key = "masked:" + os.path.abspath(sf_dir)
+    if key in _ENGINES:
+        return _ENGINES[key]
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = os.path.join(
+        _SCRATCH, "maskix_" + os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    )
+    import json as _json
+    import shutil as _shutil
+
+    from femto_spark.index.build import FORMAT_VERSION
+
+    stats_p = os.path.join(out, "stats.json")
+    if os.path.exists(stats_p):
+        try:
+            st = _json.load(open(stats_p))
+            ok = (
+                st.get("format_version") == FORMAT_VERSION
+                and st.get("hash_mask") == 63
+            )
+        except Exception:
+            ok = False
+        if not ok:
+            _shutil.rmtree(out, ignore_errors=True)
+    build_index(spark, corpus, out, n_buckets=8, resume=True, hash_mask=63)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    _ENGINES[key] = eng
+    return eng
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -151,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- FTS query plane ----
     q["fts_count_terms"] = lambda s, d: _engine(s, d).count(" ".join(_PROBE_TERMS))
+    # same probes through a forced-collision (re-keyed) index — the
+    # 10^9-vocabulary path, driver-checked against the hash-free oracle
+    q["fts_count_rekeyed"] = lambda s, d: _engine_masked(s, d).count(
+        " ".join(_PROBE_TERMS)
+    )
+    q["fts_bm25_rekeyed"] = lambda s, d: _engine_masked(s, d).search(_Q_OR, k=10)
     q["fts_bm25_top10"] = lambda s, d: _engine(s, d).search(_Q_OR, k=10)
     q["fts_bm25_and_top10"] = lambda s, d: _engine(s, d).search(_Q_AND, k=10, mode="and")
     # fielded search: metadata header sections filter the result set
@@ -372,7 +418,9 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
 SELECT term, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
 FROM tok WHERE term IN ({_sql_terms(_PROBE_TERMS)}) GROUP BY term"""
 
+    o["fts_count_rekeyed"] = o["fts_count_terms"]
     o["fts_bm25_top10"] = _bm25_sql(sorted(set(_Q_OR.split())), 10, "or")
+    o["fts_bm25_rekeyed"] = o["fts_bm25_top10"]
     o["fts_bm25_and_top10"] = _bm25_sql(sorted(set(_Q_AND.split())), 10, "and")
 
     # fielded filter: restricts the RESULT set; BM25 stats stay global
