@@ -942,15 +942,21 @@ class SearchEngine:
         query-term occurrence — FEMTO's CONTEXT query (server.c:2627)
         extracts surrounding characters while locating; with the corpus
         kept, a snippet is a token-window substring at report time.
-        Returns (doc_id, score, first_pos, snippet)."""
-        top = self.search(query, k)
+        Returns (doc_id, score, first_pos, snippet).
+
+        The top-k comes from the WAND path: rank- and score-identical to
+        search() (exact verification inside the harness; the 21-case
+        equivalence suite), but block-max skipping means a hot query term
+        does not force a full posting scan just to pick 10 docs."""
+        top = self.search_wand(query, k)
         terms = sorted(set(tokenize(query)))
-        # aggregate first positions ONLY for the k winners (semi-join the
-        # tiny top-k doc set in before the groupBy) — a hot term would
-        # otherwise aggregate every containing doc just to keep 10
-        pos = self.postings_with_positions(terms).select(
+        # decode positions ONLY for the k winners: the top-k doc set is
+        # the decode's doc_filter (broadcast semi-join inside
+        # postings_with_positions), so a hot term never pays a full
+        # positions decode just to keep 10 docs
+        pos = self.postings_with_positions(terms, top.select("doc_id")).select(
             "doc_id", F.expr("positions[0]").alias("p0")
-        ).join(F.broadcast(top.select("doc_id")), "doc_id", "semi")
+        )
         first = pos.groupBy("doc_id").agg(F.min("p0").alias("first_pos"))
         toks = spark_tokens_expr(self.text_col)
         snip = (
