@@ -944,16 +944,22 @@ class SearchEngine:
         kept, a snippet is a token-window substring at report time.
         Returns (doc_id, score, first_pos, snippet).
 
-        The top-k comes from the WAND path: rank- and score-identical to
-        search() (exact verification inside the harness; the 21-case
-        equivalence suite), but block-max skipping means a hot query term
-        does not force a full posting scan just to pick 10 docs."""
-        top = self.search_wand(query, k)
+        Plan choice is stats-driven (same trigger style as the proximity
+        prune): with a HOT query term the top-k comes from the WAND path
+        (rank- and score-identical — exact verification inside the
+        harness, the 21-case equivalence suite) and the winner doc set
+        rides into the positions decode as its doc_filter, so picking 10
+        snippets never pays a full posting scan + positions decode
+        (measured at 2M docs: 16.7 → 4.5 s). Small-df queries keep the
+        plain exact plan — the WAND task's fixed Arrow round-trip costs
+        more than it saves there."""
         terms = sorted(set(tokenize(query)))
+        stats = self._term_stats(terms)
+        hot = any(stats[t][0] >= _PROX_PRUNE_HI for t in terms)
+        top = self.search_wand(query, k) if hot else self.search(query, k)
         # decode positions ONLY for the k winners: the top-k doc set is
         # the decode's doc_filter (broadcast semi-join inside
-        # postings_with_positions), so a hot term never pays a full
-        # positions decode just to keep 10 docs
+        # postings_with_positions)
         pos = self.postings_with_positions(terms, top.select("doc_id")).select(
             "doc_id", F.expr("positions[0]").alias("p0")
         )
