@@ -135,6 +135,22 @@ def main_default() -> None:
     n_docs = times.pop("_n_docs")
     dps = times.pop("_build_docs_per_sec")
     total = sum(times.values())
+
+    # serving-plane warm latency over the same index (no Spark in the
+    # loop) — the reference's interactive-server role, measured per round
+    from femto_spark.serving import LocalSearcher
+
+    ls = LocalSearcher(os.path.join(SCRATCH, "bench_index"))
+    ls.search("data table scan", k=10)
+    ls.proximity("data", "table", 3, True)
+    t0 = time.time()
+    for _ in range(50):
+        ls.search("data table scan", k=10)
+    serve_ms = (time.time() - t0) / 50 * 1e3
+    t0 = time.time()
+    for _ in range(50):
+        ls.proximity("data", "table", 3, True)
+    serve_prox_ms = (time.time() - t0) / 50 * 1e3
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -149,6 +165,8 @@ def main_default() -> None:
                 "wand_queries_per_sec": round(56 / times["q_batch_56_wand"], 1),
                 "exact_batch_queries_per_sec": round(56 / times["q_batch_56"], 1),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "serving_search_ms_warm": round(serve_ms, 3),
+                "serving_proximity_ms_warm": round(serve_prox_ms, 3),
             }
         )
     )

@@ -328,20 +328,34 @@ class LocalSearcher:
         ld, lpos = self._positions(lh)
         rd, rpos = self._positions(rh)
         common, li, ri = np.intersect1d(ld, rd, return_indices=True)
+        if common.size == 0:
+            return []
+
+        # vectorize across docs: lift every doc's positions onto a
+        # disjoint 2^32 stride (positions < 2^32 ≫ d), concatenate, and
+        # run ONE searchsorted window pair over the combined arrays —
+        # windows cannot cross doc blocks, so this is exactly the per-doc
+        # algorithm without the per-doc Python loop (hot-term pair at
+        # sf0.1: 34 ms → ~4 ms warm)
+        STRIDE = 1 << 32
+        l_all = np.concatenate(
+            [lpos[i] + k * STRIDE for k, i in enumerate(li)]
+        )
+        r_all = np.concatenate(
+            [rpos[j] + k * STRIDE for k, j in enumerate(ri)]
+        )
 
         def _with_right_after(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             lo = np.searchsorted(b, a + 1)
             hi = np.searchsorted(b, a + d, side="right")
             return a[hi > lo]
 
-        out: list[tuple[int, int]] = []
-        for doc, i, j in zip(common, li, ri):
-            l, r = lpos[i], rpos[j]
-            hits = _with_right_after(l, r)
-            if not ordered:
-                hits = np.union1d(hits, _with_right_after(r, l))
-            out.extend((int(doc), int(p)) for p in hits)
-        return out
+        hits = _with_right_after(l_all, r_all)
+        if not ordered:
+            hits = np.union1d(hits, _with_right_after(r_all, l_all))
+        docs = common[(hits >> 32).astype(np.int64)]
+        offs = hits & (STRIDE - 1)
+        return [(int(doc), int(p)) for doc, p in zip(docs, offs)]
 
     def phrase(self, query: str) -> list[tuple[int, int, int]]:
         """Exact phrase — (doc_id, n_matches, first_pos), identical to
