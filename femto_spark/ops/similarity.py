@@ -336,6 +336,43 @@ def embedding_neardup_pairs(
     )
 
 
+def banded_embedding_signs(
+    vectors: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, band_val) — the hyperplane-sign band explode.
+
+    The projection carries ONLY the id + band values: the vector column is
+    dropped before the n_bands-fold posexplode, so neither the fan-out nor
+    the downstream bucket join ever ships embeddings (the plan property
+    test_embedding_neardup_lsh_hot_bucket_capped asserts on this stage —
+    the final pair plan hides it behind the candidate barrier)."""
+    planes = lsh_hyperplanes(dim, n_bands * rows_per_band, seed)
+    exprs = []
+    for bnd in range(n_bands):
+        bits = []
+        for rr in range(rows_per_band):
+            p = bnd * rows_per_band + rr
+            arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> cast(x as double) * y),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            bits.append(f"(case when {dot} >= 0 then {1 << rr} else 0 end)")
+        exprs.append(" + ".join(bits))
+    return vectors.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.array(*[F.expr(e) for e in exprs])).alias(
+            "band", "band_val"
+        ),
+    )
+
+
 def embedding_neardup_lsh(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -365,30 +402,10 @@ def embedding_neardup_lsh(
     pairs beyond the hub are NOT verified — duplicate-group connectivity
     is preserved, pairwise completeness is not; leave None unless a
     bucket can plausibly exceed memory."""
-    planes = lsh_hyperplanes(dim, n_bands * rows_per_band, seed)
-
-    def band_exprs(col: str) -> list[str]:
-        out = []
-        for bnd in range(n_bands):
-            bits = []
-            for rr in range(rows_per_band):
-                p = bnd * rows_per_band + rr
-                arr = "array(" + ",".join(f"{v!r}D" for v in planes[p]) + ")"
-                dot = (
-                    f"aggregate(zip_with({col}, {arr}, (x, y) -> cast(x as double) * y),"
-                    " cast(0.0 as double), (acc, v) -> acc + v)"
-                )
-                bits.append(f"(case when {dot} >= 0 then {1 << rr} else 0 end)")
-            out.append(" + ".join(bits))
-        return out
-
     from .dedup import _capped_bucket_pairs
 
-    banded = vectors.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.array(*[F.expr(e) for e in band_exprs(vec_col)])
-        ).alias("band", "band_val"),
+    banded = banded_embedding_signs(
+        vectors, n_bands, rows_per_band, dim, id_col, vec_col, seed
     )
     pairs = _capped_bucket_pairs(banded, ["band", "band_val"], max_bucket)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -151,17 +151,22 @@ class RequestHandler:
         parts = arg.split()
         if len(parts) < 2:
             raise ValueError("docs_for_range takes: first last [term]")
+        # INCLUSIVE [first, last] — the module's stated convention (the
+        # reference's row ranges are first/last inclusive, femto.h:110-139),
+        # so a client feeding back a range returned by string_rows/
+        # find_strings keeps its last element. (query/engine.docs_for_range
+        # is the separately-documented half-open Spark-side API.)
         lo, hi = int(parts[0]), int(parts[1])
         if len(parts) > 2:
             term = tokenize(parts[2])
             if len(term) != 1:
                 raise ValueError("docs_for_range term must be one token")
             doc, _tf, _dl = self.s._decoded(self.s._hash(term[0]))
-            ids = [int(d) for d in doc if lo <= d < hi]
+            ids = [int(d) for d in doc if lo <= d <= hi]
         else:
             t = self.s._docs_ds.to_table(
                 columns=["doc_id"],
-                filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+                filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi),
             )
             ids = sorted(int(d) for d in t["doc_id"].to_pylist())
         return {

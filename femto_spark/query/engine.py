@@ -193,8 +193,16 @@ class SearchEngine:
         """Decoded postings DataFrame (term, doc_id, tf, dl, score)."""
         n_docs, avgdl = self.n_docs, self.avgdl
         stats = self._term_stats(terms)
-        names = {self._hash(t): t for t in terms}
-        dfs = {self._hash(t): stats[t][0] for t in terms}
+        # keyed by hash: under a masked hash space (hash_mask test indexes)
+        # an out-of-vocab query term can share an effective hash with an
+        # indexed term — prefer the term with df>0 so a phantom (df=0)
+        # term cannot shadow the indexed one and corrupt its BM25 idf
+        names: dict[int, str] = {}
+        dfs: dict[int, int] = {}
+        for t in terms:
+            h = self._hash(t)
+            if h not in names or (dfs[h] == 0 and stats[t][0] > 0):
+                names[h], dfs[h] = t, stats[t][0]
 
         def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -957,6 +965,11 @@ class SearchEngine:
         stats = self._term_stats(terms)
         hot = any(stats[t][0] >= _PROX_PRUNE_HI for t in terms)
         top = self.search_wand(query, k) if hot else self.search(query, k)
+        # `top` feeds TWO consumers (the positions doc_filter and the final
+        # snippet join); without a barrier the whole top-k Spark job —
+        # including the _ids decode + broadcast pipeline it triggers —
+        # re-executes per consumer. k rows: checkpoint is ~free.
+        top = top.localCheckpoint(eager=True)
         # decode positions ONLY for the k winners: the top-k doc set is
         # the decode's doc_filter (broadcast semi-join inside
         # postings_with_positions)

@@ -415,10 +415,19 @@ class LocalSearcher:
         if not hashes:
             return None
         ng_path = os.path.join(self._index_dir, "vocab_ngrams")
-        if not os.path.exists(
-            os.path.join(self._index_dir, "_COMMITTED_vocab_ngrams.json")
-        ):
+        marker = os.path.join(self._index_dir, "_COMMITTED_vocab_ngrams.json")
+        vocab_marker = os.path.join(self._index_dir, "_COMMITTED_vocab.json")
+        if not os.path.exists(marker):
             return None  # gram table not materialized — full vocab scan
+        if os.path.exists(vocab_marker) and os.path.getmtime(
+            marker
+        ) < os.path.getmtime(vocab_marker):
+            # gram table predates the latest vocab commit (e.g. merge_into
+            # added terms): pruning with it would silently drop docs whose
+            # terms only exist in the new vocab — same staleness rule as
+            # index/ngram.ensure_vocab_ngrams, but serving cannot rebuild
+            # (no Spark session), so fall back to the full vocab scan.
+            return None
         t = pads.dataset(ng_path).to_table(
             columns=["gram_hash", "term_hash"],
             filter=pads.field("gram_hash").isin(hashes),

