@@ -510,18 +510,26 @@ def build_vocab(
     fixed_df: DataFrame | None = None,
     prior_remap: dict[str, int] | None = None,
     io: TableIO | None = None,
-) -> tuple[int, dict[str, int]]:
+) -> tuple[int, dict[str, int], dict[str, float]]:
     """Distinct (term, term_hash) side table with 64-bit collisions
-    re-keyed (see resolve_collisions). JVM-only explode → distinct →
-    write; n_terms rides the write via an Observation (no read-back agg
-    pass); the collision probe is one groupBy over the written vocab that
-    returns zero rows in the common case. Returns (n_terms, remap) and
-    persists the remap as collisions.json."""
+    re-keyed (see resolve_collisions).
+
+    One write, no read-back: the distinct is materialized ONCE as a
+    DISK_ONLY local checkpoint; the collision probe reads those blocks
+    (tiny jobs over an already-deduped table), the remap's CASE arms are
+    applied on the SAME blocks, and the table is written exactly once with
+    effective hashes — where the former flow wrote the natural-hash vocab,
+    read it back for the probe, and REWROTE the whole table on collision
+    (the re-key path every hash_mask test takes, and two extra scan jobs
+    on every build — part of the non-scaling vocab wall Campaign D
+    flagged). Returns (n_terms, remap, sub-timings) and persists the
+    remap as collisions.json."""
+    from pyspark import StorageLevel
     from pyspark.sql import Observation
 
     io = io or TableIO(out_dir)
-    if not io.catalog_table:
-        _fresh(os.path.join(out_dir, "vocab"))
+    timings: dict[str, float] = {}
+    t0 = time.time()
     hash_col = F.expr(token_hash_sql(hash_mask, prior_remap)).alias("term_hash")
     vocab = (
         toks.select(F.explode("tokens").alias("t"))
@@ -530,37 +538,33 @@ def build_vocab(
         # `t` must exist under that name for token_hash_sql; re-alias after
         .select("term", "term_hash")
     )
-    obs = Observation("vocab_stats")
-    vocab = vocab.observe(obs, F.count(F.lit(1)).alias("n_terms"))
-    io.replace(vocab, "vocab")
-    n_terms = int(obs.get["n_terms"])
-    written = io.read(spark, "vocab")
-    remap = resolve_collisions(written, hash_mask, fixed_df, prior_remap)
+    vocab_ck = vocab.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    timings["distinct"] = time.time() - t0
+    t0 = time.time()
+    remap = resolve_collisions(vocab_ck, hash_mask, fixed_df, prior_remap)
+    timings["probe"] = time.time() - t0
+    t0 = time.time()
+    out = vocab_ck
     if remap != dict(prior_remap or {}):
-        # rare path: rewrite vocab with the new effective hashes applied
         arms = " ".join(
             f"WHEN term = {_sql_str(t)} THEN {h}L" for t, h in sorted(remap.items())
         )
-        fixed = written.withColumn(
+        out = vocab_ck.withColumn(
             "term_hash", F.expr(f"CASE {arms} ELSE term_hash END")
         )
-        if io.catalog_table:
-            # table replace is atomic (no tmp-dir swap dance); the
-            # localCheckpoint breaks the read-from-the-table-being-
-            # replaced cycle for non-snapshotting providers — an Iceberg
-            # catalog pins the old snapshot and would not need it
-            io.replace(fixed.localCheckpoint(), "vocab")
-        else:
-            vocab_path = os.path.join(out_dir, "vocab")
-            tmp = vocab_path + "_rekey"
-            _fresh(tmp)
-            fixed.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(vocab_path)
-            os.rename(tmp, vocab_path)
+    obs = Observation()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    if not io.catalog_table:
+        _fresh(os.path.join(out_dir, "vocab"))
+    io.replace(out, "vocab")
+    n_terms = int(obs.get["n_terms"])
+    timings["write"] = time.time() - t0
     if remap:
         with open(os.path.join(out_dir, "collisions.json"), "w") as f:
             json.dump(remap, f)
-    return n_terms, remap
+    return n_terms, remap, timings
 
 
 # ---------------------------------------------------------------------------
@@ -681,12 +685,12 @@ def build_index(
 
     def _run_vocab() -> tuple[float, dict[str, int]]:
         t0 = time.time()
-        n_terms, remap = build_vocab(
+        n_terms, remap, sub = build_vocab(
             spark, toks, out_dir, hash_mask=hash_mask, io=io
         )
         dt = time.time() - t0
         _commit(out_dir, "vocab", {"secs": dt, "n_terms": n_terms,
-                                   "n_rekeyed": len(remap)})
+                                   "n_rekeyed": len(remap), "sub": sub})
         return dt, remap
 
     def _run_partials(remap: dict[str, int]) -> float:
