@@ -214,6 +214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table", "scan", 4, ordered=False
     ).withColumnRenamed("offset", "off")
     q["fts_phrase"] = lambda s, d: _engine(s, d).phrase("data table")
+    # LIMIT-pushdown phrase: first k matching docs in doc order without
+    # materializing the full match set (positions decode sees only a
+    # candidate prefix of the postings-plane intersection)
+    q["fts_phrase_limit"] = lambda s, d: _engine(s, d).phrase_limit(
+        "data table", k=5
+    )
     q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
     q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
     # substring/infix over the INDEXED token stream ('.' may match the
@@ -466,6 +472,9 @@ FROM tokpos a
 JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'table'
 WHERE a.term = 'data'
 GROUP BY a.doc_id ORDER BY doc_id"""
+
+    # first-k phrase == full phrase limited in doc order
+    o["fts_phrase_limit"] = o["fts_phrase"] + " LIMIT 5"
 
     o["fts_approx_terms"] = f"""{_BASE}
 SELECT t.term, CAST(levenshtein(t.term, 'tabl') AS INT) AS dist,

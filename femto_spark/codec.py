@@ -401,6 +401,49 @@ def encode_positions(positions_per_doc: list[np.ndarray]) -> bytes:
     return encode_positions_flat(flat, lens)
 
 
+def decode_positions_select(
+    blob: bytes, tfs: np.ndarray, keep: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode positions for SELECTED postings only.
+
+    The blob is a per-posting delta-varint stream with no offset table,
+    but varint boundaries are just the bytes with the high bit clear —
+    one vectorized compare + flatnonzero over the blob (≈20 ms at 6 MB)
+    maps varint index → byte offset. Each posting's first delta is
+    absolute (encode_positions_flat), so segments decode independently:
+    gather the kept postings' byte ranges and run the normal decoder on
+    that (tiny) stream. A doc-filtered consumer (proximity / snippets /
+    phrase_limit) therefore pays O(blob bytes scanned once) + O(kept
+    positions) instead of fully decoding a hot shard row's millions of
+    positions to keep a handful (measured 0.75-3 s → ms at a 5.9 MB row).
+
+    `keep`: sorted posting indices. Returns (flat, starts) aligned with
+    `keep` — kept posting j's positions are flat[starts[j] : starts[j] +
+    tfs[keep[j]]]."""
+    lens_all = np.ascontiguousarray(tfs, dtype=np.int64)
+    keep = np.asarray(keep, dtype=np.int64)
+    k_lens = lens_all[keep]
+    if int(k_lens.sum()) == 0 or len(blob) == 0:
+        return np.empty(0, dtype=np.int64), np.cumsum(k_lens) - k_lens
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    ends = np.flatnonzero(buf < 0x80)  # end byte index of every varint
+    first_v = np.cumsum(lens_all) - lens_all  # first varint idx per posting
+    s = first_v[keep]
+    nzm = k_lens > 0
+    s_nz = s[nzm]
+    e_nz = s_nz + k_lens[nzm]
+    lo = np.where(s_nz == 0, 0, ends[s_nz - 1] + 1)
+    hi = ends[e_nz - 1] + 1
+    seg = hi - lo
+    csum_seg = np.cumsum(seg) - seg
+    gather = np.repeat(lo - csum_seg, seg) + np.arange(int(seg.sum()))
+    # decode over the non-empty segments only (decode_positions assumes
+    # tf ≥ 1); starts are reported for ALL kept postings, zero-length
+    # ones pointing at their (empty) offset
+    flat, _ = decode_positions(buf[gather].tobytes(), k_lens[nzm])
+    return flat, np.cumsum(k_lens) - k_lens
+
+
 def decode_positions(blob: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Decode to (flat_positions, starts) where posting i's positions are
     flat_positions[starts[i] : starts[i] + tfs[i]]."""

@@ -93,3 +93,30 @@ def test_positions_roundtrip_property(poslists):
 def test_positions_empty():
     flat, starts = decode_positions(b"", np.array([], dtype=np.int64))
     assert flat.size == 0 and starts.size == 0
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=200_000), min_size=0, max_size=30),
+        min_size=1,
+        max_size=100,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=30, deadline=None)
+def test_positions_select_matches_full_decode(poslists, rnd):
+    from femto_spark.codec import decode_positions_select
+
+    poslists = [np.unique(np.array(p, dtype=np.int64)) for p in poslists]
+    tfs = np.array([len(p) for p in poslists], dtype=np.int64)
+    blob = encode_positions(poslists)
+    n = len(poslists)
+    keep = np.array(
+        sorted(rnd.sample(range(n), rnd.randint(1, n))), dtype=np.int64
+    )
+    flat, starts = decode_positions_select(blob, tfs, keep)
+    for j, i in enumerate(keep):
+        got = flat[starts[j] : starts[j] + tfs[i]]
+        assert np.array_equal(got, poslists[i]), (i, got, poslists[i])
+    # multi-byte varints (values > 127 and > 16383) must be covered
+    assert starts.size == keep.size

@@ -16,6 +16,38 @@ def test_phrase_matches_oracle(engine, oracle_sf001, q):
     assert got == want, q
 
 
+@pytest.mark.parametrize(
+    "q,k",
+    [
+        ("data table", 3),      # k < total matches: stops early
+        ("data table", 10_000),  # k > total: returns everything
+        ("the data", 1),
+        ("merge sort key", 2),
+        ("zzz qqq", 5),          # absent term: empty
+    ],
+)
+def test_phrase_limit_first_k(engine, oracle_sf001, q, k):
+    want = oracle_sf001.phrase(q)[:k]
+    got = [
+        (r["doc_id"], r["n_matches"], r["first_pos"])
+        for r in engine.phrase_limit(q, k=k).collect()
+    ]
+    assert got == want, (q, k)
+
+
+def test_phrase_limit_multi_round(engine, oracle_sf001):
+    """Start the candidate prefix at 1 doc so the geometric growth loop
+    takes several rounds; rows must still be exactly the doc-order
+    first k."""
+    q, k = "data table", 4
+    want = oracle_sf001.phrase(q)[:k]
+    got = [
+        (r["doc_id"], r["n_matches"], r["first_pos"])
+        for r in engine.phrase_limit(q, k=k, prefix0=1).collect()
+    ]
+    assert got == want
+
+
 def test_phrase_single_term(engine, oracle_sf001):
     want = oracle_sf001.phrase("merge")
     got = [
