@@ -238,6 +238,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_group"] = lambda s, d: _engine(s, d).infix_docs(
         "ta(b|c)+le fas"
     )
+    # 7 wildcards: routes through the positional DP (query/infix._dp_docs)
+    # instead of 2^dots variant enumeration — the round-3 _MAX_DOTS
+    # residue, now index-answered
+    q["fts_regex_infix_dots"] = lambda s, d: _engine(s, d).infix_docs(
+        ".t.bl...c.n."
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -508,6 +514,11 @@ WHERE regexp_matches(s, 'merge (fast|slow)') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'ta(b|c)+le fas') ORDER BY doc_id"""
+
+    o["fts_regex_infix_dots"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, '.t.bl...c.n.') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),

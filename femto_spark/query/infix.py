@@ -56,6 +56,11 @@ from pyspark.sql import functions as F
 from ..index.ngram import prune_terms_by_grams
 
 _LITERALS = set("abcdefghijklmnopqrstuvwxyz0123456789")
+# ≤ _ENUM_DOTS wildcards: 2^d variant enumeration (simplest plan, the
+# common case). Above it: the O(d²) per-boundary positional DP
+# (_dp_docs) — no wildcard-count limit on the Spark path. _MAX_DOTS only
+# bounds variants() itself (the serving plane still enumerates).
+_ENUM_DOTS = 6
 _MAX_DOTS = 10
 _MAX_EXPANSIONS = 64  # cap on branch-expanded pattern count
 
@@ -252,16 +257,64 @@ def required_run_from_units(funits: list[tuple[str, str]]) -> str:
 
 def pattern_supported(pattern: str) -> bool:
     """True iff infix_docs will accept the pattern. Must mirror what
-    infix_docs actually evaluates: variants() applies the all-optional-
-    fragment rejection that _units() alone does not (e.g. 'x* y')."""
-    if not pattern or pattern.count(".") > _MAX_DOTS:
+    infix_docs actually evaluates: ≤ _ENUM_DOTS wildcards go through
+    variants() (which applies the all-optional-fragment rejection), more
+    through the positional DP (same rejection, checked per realizable
+    segment by _dp_validate) — there is no wildcard-count rejection on
+    the Spark path anymore, only the structural subset."""
+    if not pattern:
         return False
     try:
         for p in expand(pattern):
-            variants(p)
+            if p.count(".") > _ENUM_DOTS:
+                _dp_validate(p)
+            else:
+                variants(p)
         return True
     except ValueError:
         return False
+
+
+def _dp_boundaries(units: list[tuple[str, str]]) -> list[int]:
+    """Indices of boundary-candidate units: literal spaces (forced
+    boundaries) and dots (space OR in-token char)."""
+    return [i for i, (k, _) in enumerate(units) if k in ("space", "dot")]
+
+
+def _dp_seg(units, lo_b: int | None, hi_b: int | None):
+    """Unit slice strictly between boundary unit lo_b and hi_b (None =
+    pattern start / end). Returns None when the slice contains a literal
+    space — a fragment can never contain a forced boundary, so that
+    transition is invalid."""
+    lo = 0 if lo_b is None else lo_b + 1
+    hi = len(units) if hi_b is None else hi_b
+    seg = units[lo:hi]
+    if any(k == "space" for k, _ in seg):
+        return None
+    return seg
+
+
+def _dp_validate(pattern: str) -> list[tuple[str, str]]:
+    """Validate `pattern` for the positional DP: lexes, and every
+    realizable nonempty segment has a required unit (the same
+    all-optional-fragment rule variants() applies — every segment here
+    appears as a fragment in some dot-choice, so the rejection sets
+    match). Returns the unit list."""
+    units = _units(pattern)
+    if not units:
+        raise ValueError(f"unsupported infix pattern: {pattern!r}")
+    bs: list[int | None] = [None] + _dp_boundaries(units) + [None]
+    # every (earlier, later) boundary pair is a realizable segment (the
+    # variant choosing exactly those two as spaces and the dots between
+    # as in-token chars) — including (start, end), the no-space variant
+    for ai in range(len(bs) - 1):
+        for bi in range(ai + 1, len(bs)):
+            seg = _dp_seg(units, bs[ai], bs[bi])
+            if seg and not _has_required(seg):
+                raise ValueError(
+                    f"segment in {pattern!r} can match empty — unsupported"
+                )
+    return units
 
 
 def variants(pattern: str) -> list[tuple[str, ...]]:
@@ -322,6 +375,149 @@ def _slot_regexes(frags: tuple[str, ...]) -> list[tuple[int, str]]:
     return out
 
 
+def _dp_docs(engine, pattern: str, vocab, ngrams) -> DataFrame:
+    """Per-boundary positional DP — evaluates a many-wildcard pattern in
+    O(b²) fragment joins instead of 2^dots variant enumeration (the
+    round-3 `_MAX_DOTS` residue; reference answers the same patterns via
+    its NFA walk, src/main/nfa.c:418).
+
+    Boundary candidates = literal spaces (forced) and dots (space or
+    in-token char). State S[p] = DataFrame (doc_id, t): SOME choice of
+    the earlier dots matches the pattern prefix up to boundary p (chosen
+    as a space), with token position t the last consumed token. A
+    transition p→q extends by one whole token matching the in-token
+    segment between them (dots inside play chars); the answer joins each
+    state to its prefix-anchored tail. Every 2^dots variant corresponds
+    to exactly one path through the chosen boundaries, so the union of
+    path-endpoints equals the variant-union — same rows, polynomially
+    many fragment evaluations."""
+    units = _dp_validate(pattern)
+    bounds = _dp_boundaries(units)
+    docs_df = engine._docs
+
+    def positions_of(seg, kind):
+        f = "".join(t for _, t in seg)
+        rx = {"suffix": f + "$", "whole": "^" + f + "$", "prefix": "^" + f}[
+            kind
+        ]
+        run = required_run_from_units(seg)
+        pruned = prune_terms_by_grams(
+            vocab,
+            ngrams,
+            run,
+            prefix_anchor=kind in ("whole", "prefix") and f.startswith(run),
+            suffix_anchor=kind in ("whole", "suffix") and f.endswith(run),
+        )
+        base = pruned if pruned is not None else vocab
+        cand = base.filter(F.col("term").rlike(rx)).select("term_hash")
+        return engine._positions_for_hashes(cand).select("doc_id", "pos")
+
+    results: list[DataFrame] = []
+
+    # no-space variant: the whole pattern inside one token
+    seg_all = _dp_seg(units, None, None)
+    if seg_all:
+        f = "".join(t for _, t in seg_all)
+        run = required_run_from_units(seg_all)
+        pruned = prune_terms_by_grams(vocab, ngrams, run)
+        base = pruned if pruned is not None else vocab
+        cand = base.filter(F.col("term").rlike(f)).select("term_hash")
+        results.append(engine._docs_for_hashes(cand).select("doc_id"))
+
+    # S[i]: state after boundary bounds[i]; None = unreachable;
+    # "EMPTY" sentinel = reachable with an empty prefix (pattern starts
+    # at this boundary — the fragment-tuple's empty FIRST fragment,
+    # meaning only "a predecessor token exists": next match needs pos ≥ 1)
+    states: list = [None] * len(bounds)
+    for i, b in enumerate(bounds):
+        # arrive directly from the pattern start
+        seg = _dp_seg(units, None, b)
+        if seg is not None:
+            if not seg:
+                states[i] = "EMPTY"
+            else:
+                states[i] = positions_of(seg, "suffix").select(
+                    "doc_id", F.col("pos").alias("t")
+                )
+        # arrive from an earlier boundary
+        for j in range(i):
+            if states[j] is None:
+                continue
+            seg = _dp_seg(units, bounds[j], b)
+            if seg is None or not seg:
+                continue  # forced boundary inside, or adjacent spaces
+            step = positions_of(seg, "whole")
+            if states[j] == "EMPTY":
+                nxt = step.filter(F.col("pos") >= 1).select(
+                    "doc_id", F.col("pos").alias("t")
+                )
+            else:
+                nxt = (
+                    states[j]
+                    .join(
+                        step,
+                        (states[j]["doc_id"] == step["doc_id"])
+                        & (step["pos"] == states[j]["t"] + 1),
+                    )
+                    .select(step["doc_id"], F.col("pos").alias("t"))
+                )
+            if states[i] is None or states[i] == "EMPTY":
+                # an EMPTY marker and a positional state can coexist
+                # (both arrivals are realizable); keep both by unioning
+                # the positional part and remembering EMPTY separately —
+                # EMPTY can only occur for the first boundary at unit 0,
+                # where no earlier boundary exists, so overlap is
+                # impossible in practice
+                states[i] = nxt
+            else:
+                states[i] = states[i].union(nxt)
+
+        # finish: tail from this boundary to the pattern end
+        if states[i] is None:
+            continue
+        tail = _dp_seg(units, b, None)
+        if tail is None:
+            continue
+        if not tail:
+            # empty LAST fragment: a successor token must exist
+            if states[i] == "EMPTY":
+                # pattern is a single boundary unit: any doc with ≥ 2
+                # tokens has the space in its stream
+                results.append(
+                    docs_df.filter(F.col("dl") >= 2).select("doc_id")
+                )
+            else:
+                results.append(
+                    states[i]
+                    .join(docs_df, "doc_id")
+                    .filter(F.col("t") + 1 <= F.col("dl") - 1)
+                    .select("doc_id")
+                )
+        else:
+            step = positions_of(tail, "prefix")
+            if states[i] == "EMPTY":
+                results.append(
+                    step.filter(F.col("pos") >= 1).select("doc_id")
+                )
+            else:
+                results.append(
+                    states[i]
+                    .join(
+                        step,
+                        (states[i]["doc_id"] == step["doc_id"])
+                        & (step["pos"] == states[i]["t"] + 1),
+                    )
+                    .select(step["doc_id"])
+                )
+
+    if not results:
+        return engine.spark.createDataFrame([], "doc_id long")
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out
+
+
 def infix_docs(engine, pattern: str) -> DataFrame:
     """Sorted distinct doc_ids whose token stream matches `pattern` —
     answered entirely from the index. See module docstring for the
@@ -333,12 +529,20 @@ def infix_docs(engine, pattern: str) -> DataFrame:
     ngrams = ensure_vocab_ngrams(spark, engine.index_dir)
 
     # alternation/groups expand to patterns; dedup shared fragment-tuples
-    # so common variants across branches evaluate once
+    # so common variants across branches evaluate once. Many-wildcard
+    # branches (> _ENUM_DOTS dots) skip enumeration for the positional
+    # DP — polynomial in dots instead of 2^dots
     all_frags: set[tuple[str, ...]] = set()
+    dp_results: list[DataFrame] = []
     for p in expand(pattern):
-        all_frags.update(variants(p))
+        if p.count(".") > _ENUM_DOTS:
+            dp_results.append(_dp_docs(engine, p, vocab, ngrams))
+        else:
+            all_frags.update(variants(p))
 
     result: DataFrame | None = None
+    for d in dp_results:
+        result = d if result is None else result.union(d)
     for frags in sorted(all_frags):
         k = len(frags) - 1
         slots = _slot_regexes(frags)

@@ -111,6 +111,53 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         assert got == want, pat
 
 
+def test_infix_many_dots_dp(spark, engine, docs_sf001):
+    """Patterns with > _ENUM_DOTS wildcards route through the positional
+    DP (no 2^dots enumeration) and must still equal the token-stream
+    regex oracle."""
+    import re
+
+    from femto_spark.query.infix import _ENUM_DOTS, pattern_supported
+    from femto_spark.tokenizer import tokenize
+
+    streams = {d: " ".join(tokenize(t)) for d, t in docs_sf001.items()}
+    for pat in [
+        "d.t...t..bl.",         # 8 dots, crosses one boundary
+        "m...e..a..t.",         # 8 dots
+        ".e..e...s.",           # 10 dots, empty-ish edges
+        "a....a....a",          # 8 dots, repeats
+        "s..n.f.st.sl..",       # 10 dots, two boundaries
+    ]:
+        assert pat.count(".") > _ENUM_DOTS, pat
+        assert pattern_supported(pat), pat
+        want = sorted(d for d, s in streams.items() if re.search(pat, s))
+        got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
+        assert got == want, pat
+
+
+def test_infix_dp_equals_enumeration(spark, engine, docs_sf001):
+    """Differential: for patterns the enumeration path handles, the DP
+    must produce identical doc sets (same variant semantics, different
+    plan)."""
+    from femto_spark.index.ngram import ensure_vocab_ngrams
+    from femto_spark.query.infix import _dp_docs
+
+    vocab = engine._vocab()
+    ngrams = ensure_vocab_ngrams(spark, engine.index_dir)
+    for pat in [
+        "erge.fas", "ta.le", "a.a", ".able", "able ", " ta.le",
+        "scan.fa[rst]t", "s[cl]an fas", "mer+ge", "e.g. .as",
+    ]:
+        enum = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
+        dp = sorted(
+            {
+                r["doc_id"]
+                for r in _dp_docs(engine, pat, vocab, ngrams).collect()
+            }
+        )
+        assert dp == enum, pat
+
+
 def test_infix_leading_boundary_position_one(spark, tmp_path):
     """Regression for the anchor>=1 off-by-one: a doc whose matched token
     sits at stream position 1 ('x able here') must survive a leading
