@@ -230,3 +230,53 @@ def serve_stdio(index_dir: str) -> None:
             continue
         sys.stdout.write(handler.handle(line) + "\n")
         sys.stdout.flush()
+
+
+def make_http_server(index_dir: str, host: str = "127.0.0.1", port: int = 8080):
+    """HTTP front for the request protocol — the reference's mod_femto
+    shape (`src/mod_femto/mod_femto.c`: an HTTP endpoint that forwards
+    request strings to the resident femto server and returns its JSON).
+    POST / with the request string as the body, or GET /?q=<urlencoded
+    request>; the response body is exactly what handle() emits. Requests
+    are stateless; the LocalSearcher is the long-lived state (the
+    femto_server_t analogue). Returns a ThreadingHTTPServer — call
+    serve_forever(), or use it with port=0 in tests for an ephemeral
+    port."""
+    import http.server
+    import urllib.parse
+
+    handler = RequestHandler(LocalSearcher(index_dir))
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        def _respond(self, payload: str) -> None:
+            data = payload.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            body = self.rfile.read(n).decode("utf-8", "replace")
+            self._respond(handler.handle(body))
+
+        def do_GET(self):  # noqa: N802
+            qs = urllib.parse.urlparse(self.path).query
+            q = urllib.parse.parse_qs(qs).get("q", [""])[0]
+            self._respond(handler.handle(q))
+
+        def log_message(self, *args):  # quiet: no per-request stderr spam
+            pass
+
+    return http.server.ThreadingHTTPServer((host, port), _Handler)
+
+
+def serve_http(index_dir: str, host: str = "127.0.0.1", port: int = 8080) -> None:
+    """Blocking HTTP loop (scripts/femto_serve.py --http)."""
+    srv = make_http_server(index_dir, host, port)
+    import sys
+
+    print(f"# femto protocol over http://{host}:{srv.server_port}/",
+          file=sys.stderr)
+    srv.serve_forever()

@@ -12,6 +12,8 @@ Usage:
     python scripts/femto_serve.py INDEX_DIR --protocol   # femto.c generic
         # request API: string_rows* / find_strings / docs_for_range /
         # find_docs request lines on stdin -> JSON lines on stdout
+    python scripts/femto_serve.py INDEX_DIR --http 8080  # same protocol
+        # over HTTP (mod_femto analogue): POST / or GET /?q=<request>
 """
 
 from __future__ import annotations
@@ -38,7 +40,21 @@ def main() -> int:
         action="store_true",
         help="generic request protocol loop (femto.c JSON responses)",
     )
+    ap.add_argument(
+        "--http",
+        type=int,
+        metavar="PORT",
+        help="serve the request protocol over HTTP (mod_femto analogue): "
+        "POST / with the request string, or GET /?q=<request>",
+    )
+    ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args()
+
+    if args.http is not None:
+        from femto_spark.protocol import serve_http
+
+        serve_http(args.index_dir, args.host, args.http)
+        return 0
 
     if args.protocol:
         from femto_spark.protocol import serve_stdio

@@ -90,3 +90,36 @@ def test_find_docs_phrase_and_regex(handler, oracle_sf001, engine):
 
 def test_bad_request(handler):
     assert "error" in json.loads(handler.handle("frobnicate x"))
+
+
+def test_http_round_trip(index_dir, handler):
+    """One real HTTP round-trip on localhost (the mod_femto analogue):
+    POST body and GET ?q= must both return exactly what handle() emits."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from femto_spark.protocol import make_http_server
+
+    srv = make_http_server(index_dir, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        for req_str in ("string_rows data", "find_docs merge", "bogus"):
+            want = json.loads(handler.handle(req_str))
+            post = urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/", data=req_str.encode(), method="POST"
+                ),
+                timeout=10,
+            )
+            assert post.headers.get("Content-Type") == "application/json"
+            assert json.loads(post.read().decode()) == want
+            get = urllib.request.urlopen(
+                base + "/?q=" + urllib.parse.quote(req_str), timeout=10
+            )
+            assert json.loads(get.read().decode()) == want
+    finally:
+        srv.shutdown()
+        srv.server_close()
