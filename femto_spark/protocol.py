@@ -86,13 +86,20 @@ class RequestHandler:
         """Characters extending `frag` on `side`, with occurrence counts —
         the posting-list content of the reference's per-character
         backward/forward search fan-out (femto.c string_rows_addleftright:
-        one row-range per alphabet character)."""
-        hits: list[tuple[str, int]] = []
-        for term, h in self.s._vocab_rows():
-            if side == "right" and term.startswith(frag) and len(term) > len(frag):
-                hits.append((term[len(frag)], h))
-            elif side == "left" and term.endswith(frag) and len(term) > len(frag):
-                hits.append((term[-len(frag) - 1], h))
+        one row-range per alphabet character). Vocab access is demand-
+        paged: a string-range pushdown for the prefix side, a gram-pruned
+        page for the suffix side — no resident term list."""
+        if side == "right":
+            rows = self.s._vocab_rows_prefix(frag)
+            hits = [(term[len(frag)], h) for term, h in rows]
+        else:
+            rows = self.s._vocab_matching(
+                "endswith:" + frag,
+                lambda t: t.endswith(frag) and len(t) > len(frag),
+                frag,
+                suffix_anchor=True,
+            )
+            hits = [(term[-len(frag) - 1], h) for term, h in rows]
         st = self.s._term_stats([h for _, h in hits])  # one batched read
         counts: dict[str, int] = {}
         for ch, h in hits:
@@ -130,12 +137,9 @@ class RequestHandler:
         else:
             rx = re.compile(pattern)
             run = required_literal_run(pattern)
-            pruned = self.s._gram_pruned_hashes(run, False, False)
-            found = sorted(
-                (term, h)
-                for term, h in self.s._vocab_rows()
-                if (pruned is None or h in pruned) and rx.search(term)
-            )
+            # demand-paged: gram-pruned vocab page (or a batch stream when
+            # the run is too short) — no resident term list
+            found = self.s._vocab_matching(pattern, rx.search, run)
             st = self.s._term_stats([h for _, h in found])  # one batched read
             matches = [
                 {"range": [0, st[h][1] - 1], "cost": 0, "match": term}

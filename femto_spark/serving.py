@@ -79,6 +79,12 @@ class LocalSearcher:
         self._cache_terms = cache_terms
         self._pos_cache: OrderedDict[int, tuple] = OrderedDict()
         self._cache_pos_terms = max(64, cache_terms // 16)
+        # demand-paged vocab (see _vocab_matching): LRU of pruned pages +
+        # a counter of vocab rows ever materialized (tests cap it; a
+        # 10^9-term vocabulary must never become process-resident)
+        self._vocab_page_cache: OrderedDict[tuple, list] = OrderedDict()
+        self._cache_vocab_pages = max(64, cache_terms // 64)
+        self.vocab_rows_read = 0
         # effective-hash parity with the build (collision re-keying /
         # masked hash space — index/build.py token_hash_sql)
         from .index.build import load_remap
@@ -386,20 +392,105 @@ class LocalSearcher:
 
     # -- infix / substring plane ------------------------------------------
 
-    def _vocab_rows(self) -> list[tuple[str, int]]:
-        """(term, term_hash) list, loaded once. The serving plane targets
-        interactive latency over one node's index replica; a 10^9-term
-        vocabulary stays on the Spark path (query/infix.py) — here the
-        gram table prunes before this list is even consulted."""
-        if not hasattr(self, "_vocab_list"):
-            import pyarrow.dataset as pads
+    # -- demand-paged vocabulary ------------------------------------------
+    #
+    # The full term list is NEVER resident (the reference demand-pages its
+    # header block the same way, src/main/index.c:981): the gram table
+    # prunes a fragment to candidate hashes, only those vocab rows are
+    # read (pyarrow isin pushdown), and the resulting page is LRU'd like
+    # the posting-row cache. When a fragment is too short to gram-prune,
+    # the vocab is STREAMED batch-by-batch — matched rows survive, the
+    # scan does not.
 
-            ds = pads.dataset(os.path.join(self._index_dir, "vocab"))
-            t = ds.to_table(columns=["term", "term_hash"])
-            self._vocab_list = list(
-                zip(t["term"].to_pylist(), t["term_hash"].to_pylist())
+    def _vocab_ds(self):
+        import pyarrow.dataset as pads
+
+        return pads.dataset(os.path.join(self._index_dir, "vocab"))
+
+    def _vocab_rows_for_hashes(
+        self, hashes: set[int]
+    ) -> list[tuple[str, int]]:
+        """(term, term_hash) rows for a known candidate-hash set — one
+        pushdown-filtered read, resident rows = |hashes|."""
+        import pyarrow.dataset as pads
+
+        t = self._vocab_ds().to_table(
+            columns=["term", "term_hash"],
+            filter=pads.field("term_hash").isin(list(hashes)),
+        )
+        rows = list(zip(t["term"].to_pylist(), t["term_hash"].to_pylist()))
+        self.vocab_rows_read += len(rows)
+        return rows
+
+    def _vocab_stream(self):
+        """Batch-by-batch full-vocab iterator (the short-fragment
+        fallback) — each Arrow batch is dropped after its rows yield."""
+        for b in self._vocab_ds().to_batches(
+            columns=["term", "term_hash"], batch_size=1 << 16
+        ):
+            yield from zip(
+                b["term"].to_pylist(), b["term_hash"].to_pylist()
             )
-        return self._vocab_list
+
+    def _vocab_matching(
+        self,
+        key: str,
+        pred,
+        run: str,
+        prefix_anchor: bool = False,
+        suffix_anchor: bool = False,
+    ) -> list[tuple[str, int]]:
+        """Sorted (term, term_hash) rows with pred(term) true — gram-
+        pruned page reads, LRU'd by `key` (the caller's pattern text)."""
+        ck = (key, prefix_anchor, suffix_anchor)
+        if ck in self._vocab_page_cache:
+            self._vocab_page_cache.move_to_end(ck)
+            return self._vocab_page_cache[ck]
+        pruned = (
+            self._gram_pruned_hashes(run, prefix_anchor, suffix_anchor)
+            if run
+            else None
+        )
+        if pruned is not None:
+            src = self._vocab_rows_for_hashes(pruned)
+        else:
+            src = self._vocab_stream()
+        rows = sorted((t, int(h)) for t, h in src if pred(t))
+        if pruned is None:
+            self.vocab_rows_read += len(rows)  # only the matches survive
+        self._vocab_page_cache[ck] = rows
+        if len(self._vocab_page_cache) > self._cache_vocab_pages:
+            self._vocab_page_cache.popitem(last=False)
+        return rows
+
+    def _vocab_rows_prefix(self, frag: str) -> list[tuple[str, int]]:
+        """Terms strictly extending prefix `frag` — a string-RANGE
+        pushdown read (term > frag, term < frag + U+10FFFF), verified
+        with startswith after the read (row-group stats make the range
+        cheap; the verify keeps it lossless)."""
+        import pyarrow.dataset as pads
+
+        ck = ("prefix:" + frag, False, False)
+        if ck in self._vocab_page_cache:
+            self._vocab_page_cache.move_to_end(ck)
+            return self._vocab_page_cache[ck]
+        t = self._vocab_ds().to_table(
+            columns=["term", "term_hash"],
+            filter=(pads.field("term") > frag)
+            & (pads.field("term") < frag + chr(0x10FFFF)),
+        )
+        rows = sorted(
+            (term, int(h))
+            for term, h in zip(
+                t["term"].to_pylist(), t["term_hash"].to_pylist()
+            )
+            if term.startswith(frag)
+        )
+        self.vocab_rows_read += len(rows)
+        self._vocab_page_cache[ck] = rows
+        if len(self._vocab_page_cache) > self._cache_vocab_pages:
+            self._vocab_page_cache.popitem(last=False)
+        return rows
 
     def _gram_pruned_hashes(
         self, run: str, prefix_anchor: bool, suffix_anchor: bool
@@ -473,16 +564,18 @@ class LocalSearcher:
             cands: list[tuple[int, list[int]]] = []
             for j, rx in slots:
                 run = required_run_from_units(_units(frags[j]))
-                pruned = self._gram_pruned_hashes(
-                    run,
-                    prefix_anchor=rx.startswith("^") and rx[1:].startswith(run),
-                    suffix_anchor=rx.endswith("$") and rx[:-1].endswith(run),
-                )
                 rxc = re.compile(rx)
                 hs = [
-                    int(h)
-                    for term, h in self._vocab_rows()
-                    if (pruned is None or h in pruned) and rxc.search(term)
+                    h
+                    for _, h in self._vocab_matching(
+                        rx,
+                        rxc.search,
+                        run,
+                        prefix_anchor=rx.startswith("^")
+                        and rx[1:].startswith(run),
+                        suffix_anchor=rx.endswith("$")
+                        and rx[:-1].endswith(run),
+                    )
                 ]
                 cands.append((j, hs))
             if any(not hs for _, hs in cands):

@@ -133,3 +133,33 @@ def test_infix_matches_engine(searcher, engine):
         got = searcher.infix_docs(pat)
         exp = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
         assert got == exp, pat
+
+
+def test_vocab_demand_paged(index_dir, engine):
+    """The serving plane must answer infix/extensions WITHOUT a resident
+    vocab list: gram-prunable patterns materialize only their pruned page
+    (rows read << vocab size), and no full-term-list attribute exists
+    (reference analogue: the demand-paged header block, index.c:981)."""
+    import pyarrow.dataset as pads
+
+    from femto_spark.serving import LocalSearcher
+
+    n_vocab = pads.dataset(f"{index_dir}/vocab").count_rows()
+    s = LocalSearcher(index_dir)
+    got = s.infix_docs("erge.fas")
+    exp = [r["doc_id"] for r in engine.infix_docs("erge.fas").collect()]
+    assert got == exp
+    assert not hasattr(s, "_vocab_list")
+    # the 'erge' run gram-prunes: the page read is a strict subset
+    assert 0 < s.vocab_rows_read < n_vocab, (s.vocab_rows_read, n_vocab)
+
+    # LRU: re-running the same pattern reads nothing new
+    before = s.vocab_rows_read
+    assert s.infix_docs("erge.fas") == got
+    assert s.vocab_rows_read == before
+
+    # short-fragment fallback STREAMS the vocab — only matches survive
+    # (the resident count grows by the matches, not the scan)
+    s2 = LocalSearcher(index_dir)
+    s2.infix_docs("a.a")
+    assert s2.vocab_rows_read < n_vocab
