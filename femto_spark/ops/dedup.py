@@ -104,36 +104,77 @@ def shingles(corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text") ->
     ).distinct()
 
 
+def _shingle_cols(bits: int) -> list[str]:
+    """Join/distinct key columns for a shingle-hash table."""
+    if bits == 64:
+        return ["h"]
+    if bits == 128:
+        return ["h", "h2"]
+    raise ValueError(f"bits must be 64 or 128, got {bits}")
+
+
 def shingle_hashes(
     corpus: DataFrame,
     n: int = 3,
     id_col="doc_id",
     text_col="text",
     distinct: bool = True,
+    bits: int = 64,
+    hash_mask: int | None = None,
 ) -> DataFrame:
-    """(doc_id, h) xxhash64'd word n-grams — the hot-path form: the hash
-    is computed INSIDE the projection, so shingle strings never leave the
-    map stage (every shuffle/join downstream moves 16-byte rows, not
-    text; same no-strings principle as the index build). Jaccard on
-    hashes equals Jaccard on strings modulo 64-bit collisions —
-    negligible below ~10^9 distinct shingles; widen to a (h1, h2) pair
-    of seeds past that.
+    """(doc_id, h[, h2]) xxhash64'd word n-grams — the hot-path form: the
+    hash is computed INSIDE the projection, so shingle strings never
+    leave the map stage (every shuffle/join downstream moves 16/24-byte
+    rows, not text; same no-strings principle as the index build).
+    Jaccard on hashes equals Jaccard on strings modulo collisions.
+
+    bits=64 (default): one hash — collision-negligible below ~10^9
+    distinct shingles. bits=128: an independent second 64-bit hash
+    (xxhash64 over (shingle, seed)) rides along as `h2`; consumers key
+    joins/distincts on the PAIR, pushing the collision floor past any
+    real corpus (expected colliding pairs ≈ |S|²/2^129). `hash_mask`
+    narrows each hash space (pmod) so tests can force collisions without
+    10^9 shingles — production leaves it None.
 
     distinct=False skips the global dedup shuffle — for duplicate-
     INVARIANT consumers (MinHash: min over a multiset equals min over
     its set), the biggest data-volume stage of the pipeline disappears."""
+    cols = _shingle_cols(bits)
     toked = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("toks"),
     )
-    expr = (
-        f"case when size(toks) >= {n} then"
-        f" transform(sequence(0, size(toks) - {n}),"
-        f" i -> xxhash64(array_join(slice(toks, i + 1, {n}), ' ')))"
-        f" else cast(array() as array<bigint>) end"
-    )
-    out = toked.select("doc_id", F.explode(F.expr(expr)).alias("h"))
-    return out.distinct() if distinct else out
+
+    def _m(e: str) -> str:
+        return f"pmod({e}, {hash_mask + 1}L)" if hash_mask else e
+
+    if bits == 64:
+        expr = (
+            f"case when size(toks) >= {n} then"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> {_m(f'xxhash64(array_join(slice(toks, i + 1, {n}), chr(32)))')})"
+            f" else cast(array() as array<bigint>) end"
+        )
+        out = toked.select("doc_id", F.explode(F.expr(expr)).alias("h"))
+    else:
+        # materialize the shingle STRING array once, then hash twice in
+        # the same projection (strings never cross a stage boundary);
+        # inlining array_join twice would re-evaluate it per hash
+        s_expr = (
+            f"case when size(toks) >= {n} then"
+            f" transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), chr(32)))"
+            f" else cast(array() as array<string>) end"
+        )
+        out = (
+            toked.select("doc_id", F.explode(F.expr(s_expr)).alias("s"))
+            .select(
+                "doc_id",
+                F.expr(_m("xxhash64(s)")).alias("h"),
+                F.expr(_m("xxhash64(s, 1337)")).alias("h2"),
+            )
+        )
+    return out.dropDuplicates(["doc_id", *cols]) if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -142,6 +183,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col="doc_id",
     text_col="text",
+    bits: int = 64,
+    hash_mask: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard ≥ τ).
 
@@ -149,16 +192,27 @@ def ngram_jaccard_pairs(
     count common shingles → jaccard = common / (|A| + |B| − common).
     At 100 TB you run this on LSH candidates; standalone it is still
     shuffle-bounded by shingle co-occurrence, not n². All joins move
-    int64 shingle hashes, never the strings.
+    int64 shingle hashes, never the strings. `bits=128` keys every join
+    and distinct on an (h, h2) pair — use past ~10^9 distinct shingles,
+    where single-hash collisions start inflating jaccard (shingle_hashes
+    docstring; the forced-collision test demonstrates the failure mode).
     """
+    cols = _shingle_cols(bits)
     # consumed 3× (sizes + both self-join sides): disk-backed barrier,
     # not a storage-memory cache (see _barrier)
-    sh = _barrier(shingle_hashes(corpus, n, id_col, text_col))
+    sh = _barrier(
+        shingle_hashes(
+            corpus, n, id_col, text_col, bits=bits, hash_mask=hash_mask
+        )
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    on = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     common = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, on)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("common"))
     )
@@ -336,6 +390,8 @@ def minhash_lsh_pairs(
     id_col="doc_id",
     text_col="text",
     max_bucket: int | None = None,
+    bits: int = 64,
+    hash_mask: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
 
@@ -372,18 +428,33 @@ def minhash_lsh_pairs(
     needed = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b"))
     ).distinct()
-    # consumed 3× (sizes + both join sides): same disk-backed barrier
+    # consumed 3× (sizes + both join sides): same disk-backed barrier.
+    # The VERIFY keys on the full (bits)-wide shingle hash — estimation
+    # lives in the minhash/banding stages, exactness here
+    cols = _shingle_cols(bits)
     sh_c = _barrier(
-        shingle_hashes(corpus, n, id_col, text_col, distinct=False)
+        shingle_hashes(
+            corpus, n, id_col, text_col, distinct=False,
+            bits=bits, hash_mask=hash_mask,
+        )
         .join(needed, "doc_id", "semi")
-        .distinct()
+        .dropDuplicates(["doc_id", *cols])
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh_c.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("sh_a"))
-    sb = sh_c.select(F.col("doc_id").alias("db"), F.col("h").alias("sh_b"))
+    sa = sh_c.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"sa_{c}") for c in cols],
+    )
+    sb = sh_c.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(c).alias(f"sb_{c}") for c in cols],
+    )
+    on = F.col("doc_b") == F.col("db")
+    for c in cols:
+        on = on & (F.col(f"sa_{c}") == F.col(f"sb_{c}"))
     common = (
         cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .join(sb, on)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )

@@ -66,6 +66,40 @@ def test_ngram_jaccard_pairs(spark, docs):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
 
 
+def test_shingle_128bit_survives_forced_collisions(spark, docs):
+    """hash_mask narrows the shingle-hash space to force collisions: the
+    64-bit (single-hash) path then reports PHANTOM near-dup pairs between
+    disjoint docs, while the 128-bit (h, h2) pair path stays correct —
+    the documented widen past ~10^9 distinct shingles, demonstrated."""
+    from femto_spark.ops.dedup import ngram_jaccard_pairs
+
+    a = " ".join(f"a{i:03d}" for i in range(100))
+    b = " ".join(f"b{i:03d}" for i in range(100))
+    df = spark.createDataFrame(
+        [(0, a), (1, b)], "doc_id long, text string"
+    )
+    # 64 hash slots, ~98 shingles per doc: masked single-hash sets overlap
+    # almost completely → a phantom pair with inflated jaccard
+    bad = ngram_jaccard_pairs(df, threshold=0.2, hash_mask=63).collect()
+    assert bad, "64-bit path must mis-estimate under forced collisions"
+    # the (h, h2) pair space is 64^2: overlap collapses to noise
+    good = ngram_jaccard_pairs(
+        df, threshold=0.2, bits=128, hash_mask=63
+    ).collect()
+    assert not good, "128-bit path must not report the phantom pair"
+
+    # on a real corpus, unmasked 64- and 128-bit paths agree exactly
+    p64 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    p128 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, bits=128).collect()
+    }
+    assert p64 == p128
+
+
 def test_minhash_lsh_finds_exact_dups(spark, docs):
     from femto_spark.ops.dedup import minhash_lsh_pairs
 
