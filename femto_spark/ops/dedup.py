@@ -254,6 +254,14 @@ def minhash_signatures(
     """
     a_co, b_co = _minhash_coeffs(n_hashes)
 
+    # bound the (shingles × n_hashes) permutation temporary: an Arrow
+    # batch of long docs can carry millions of shingles, and the full
+    # uint64 matrix (shingles × 64 × 8 B) would be ~1 GB PER WORKER —
+    # 32 concurrent workers then saturate DRAM and the stage crawls
+    # (observed at 2M docs, avgdl 165). Chunk at doc boundaries so
+    # reduceat segments stay whole; results are bit-identical.
+    _CHUNK_SHINGLES = 1 << 17
+
     def _sig_rows(batches):
         """Row-wise path: each input row carries one doc's shingle-hash
         array; docs never straddle rows, so there is no carry."""
@@ -266,11 +274,23 @@ def minhash_signatures(
             arrs = [a for a, k in zip(arrs, keep) if k]
             lens = lens[keep]
             doc = pdf["doc_id"].to_numpy(np.int64)[keep]
-            flat = np.concatenate(arrs).astype(np.uint64)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            m = (flat[:, None] * a_co[None, :] + b_co[None, :]) % _MERSENNE
-            sigs = np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
-            yield pd.DataFrame({"doc_id": doc, "sig": list(sigs)})
+            # doc-aligned chunks with ≤ _CHUNK_SHINGLES hashes each
+            cuts = [0]
+            acc = 0
+            for i, ln in enumerate(lens):
+                acc += int(ln)
+                if acc >= _CHUNK_SHINGLES:
+                    cuts.append(i + 1)
+                    acc = 0
+            if cuts[-1] != len(lens):
+                cuts.append(len(lens))
+            for lo, hi in zip(cuts, cuts[1:]):
+                flat = np.concatenate(arrs[lo:hi]).astype(np.uint64)
+                cl = lens[lo:hi]
+                starts = np.concatenate(([0], np.cumsum(cl)[:-1]))
+                m = (flat[:, None] * a_co[None, :] + b_co[None, :]) % _MERSENNE
+                sigs = np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
+                yield pd.DataFrame({"doc_id": doc[lo:hi], "sig": list(sigs)})
 
     if shingle_hashes is None:
         toked = corpus.select(
