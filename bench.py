@@ -221,6 +221,13 @@ def run_one_level(cpus: int) -> None:
     t0 = time.time()
     rep = build_index(spark, corpus, out, n_buckets=32)
     dt = time.time() - t0
+    # vocab sub-timings (distinct/probe/write) from the stage marker —
+    # Campaign F attribution of the one stage Campaign D flagged as flat
+    try:
+        with open(os.path.join(out, "_COMMITTED_vocab.json")) as f:
+            vocab_sub = json.load(f).get("sub", {})
+    except Exception:
+        vocab_sub = {}
 
     # query-batch throughput at the same level (exact and WAND paths)
     from femto_spark.query import SearchEngine
@@ -249,6 +256,7 @@ def run_one_level(cpus: int) -> None:
                 "n_docs": n,
                 "build_sec": dt,
                 "build_stages": {k: round(v, 2) for k, v in rep["stages"].items()},
+                "vocab_sub": {k: round(v, 2) for k, v in vocab_sub.items()},
                 "docs_per_sec": n / dt,
                 "batch_n": len(small),
                 "batch_sec": tq,

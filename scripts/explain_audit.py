@@ -217,6 +217,38 @@ def main() -> int:
         ],
     )
 
+    # 9b. doc-range-capped postings (phrase_limit): grp prune pushed to
+    # the scan, block metadata read for the prefix decode
+    check(
+        "postings(doc_hi=100) — doc-range-capped decode (phrase_limit)",
+        eng.postings(["data"], scored=False, doc_hi=100),
+        [
+            (
+                "grp range filter pushed to parquet",
+                lambda p: "PushedFilters" in p
+                and "grp" in p.split("PushedFilters")[1][:200],
+            ),
+            (
+                "block metadata read for the prefix decode",
+                lambda p: "block_last_doc" in p,
+            ),
+            ("decode in Arrow (MapInPandas)", lambda p: "MapInPandas" in p),
+        ],
+    )
+
+    # 9c. many-wildcard infix: the positional DP stays index-only
+    check(
+        "infix_docs('.t.bl...c.n.') — positional DP (7 wildcards)",
+        eng.infix_docs(".t.bl...c.n."),
+        [
+            (
+                "no corpus scan (documents.parquet absent from plan)",
+                lambda p: "documents.parquet" not in p,
+            ),
+            ("boundary-transition joins present", lambda p: "Join" in p),
+        ],
+    )
+
     # 10. merge stage parallelism: steered hash repartition slicing each
     # bucket into k cluster-scaling slices — NOT the old 16-task
     # repartition(n_buckets), and NOT a range exchange (whose sampling
