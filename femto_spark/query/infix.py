@@ -87,12 +87,49 @@ def _split_alternation(body: str) -> list[str]:
     return parts
 
 
+import re as _re
+
+_DOT_QUANT = _re.compile(r"\.(\?|\{(\d+)(?:,(\d+))?\})")
+
+
+def _rewrite_dot_quants(pattern: str) -> str:
+    """BOUNDED dot quantifiers are finite and expand to dot-run
+    alternation before group expansion: `.{m,n}` → `(.|..|…)` (a
+    cross-token group — the existing branch machinery evaluates it) and
+    `.?` → `(.)?`. Only the genuinely token-unbounded forms (`.*`, `.+`,
+    `.{m,}`) are left for _units() to reject — a `.{0,12}` could span at
+    most 12 characters of the stream, which the variant/DP planes handle
+    like any other dots."""
+
+    def _sub(m):
+        q = m.group(1)
+        if q == "?":
+            lo, hi = 0, 1
+        elif m.group(3) is not None:
+            lo, hi = int(m.group(2)), int(m.group(3))
+        elif "," in q:
+            return m.group(0)  # `.{m,}`: unbounded — rejected downstream
+        else:
+            lo = hi = int(m.group(2))
+        if hi == 0:
+            return ""  # `.{0}` / `.{0,0}` matches only the empty string
+        if hi < lo or hi > 12:
+            return m.group(0)  # malformed / too wide — rejected downstream
+        branches = "|".join("." * k for k in range(max(lo, 1), hi + 1))
+        return f"({branches})" + ("?" if lo == 0 else "")
+
+    return _DOT_QUANT.sub(_sub, pattern)
+
+
 def expand(pattern: str) -> list[str]:
     """Expand top-level alternation and CROSS-TOKEN groups (body contains
     ' ' or '.') into a list of patterns whose only remaining groups are
     in-token — those stay opaque regex units for _units(). Unquantified
-    cross-token groups only ('?' adds the empty branch); nested groups
-    and quantified cross-token groups raise ValueError (scan fallback)."""
+    cross-token groups only ('?' adds the empty branch); bounded dot
+    quantifiers are rewritten to dot-run alternation first
+    (_rewrite_dot_quants); nested groups and quantified cross-token
+    groups raise ValueError (scan fallback)."""
+    pattern = _rewrite_dot_quants(pattern)
     tops = _split_alternation(pattern)
     if len(tops) > 1:
         out: list[str] = []

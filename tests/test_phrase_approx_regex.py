@@ -105,6 +105,9 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "merge (fast|slow)", "s(can|low)", "ta(b|c)le", "merge|scan",
         "ab(cd|le)+", "s(can|low) (fast|slow)", "(able|data) ta.le",
         "mer(ge fast|ge slow)", "(a b)? table", "x(y|z)?a",
+        # bounded dot quantifiers rewrite to dot-run alternation
+        "erge.{2}as", "ta.{1,2}e", "s.?an", "merge.{0,1}fast",
+        "a.{3}a", "d.{1,3}ta",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
