@@ -527,16 +527,181 @@ class LocalSearcher:
         uniq, counts = np.unique(th, return_counts=True)
         return set(uniq[counts >= len(hashes)].tolist())
 
-    def infix_docs(self, pattern: str) -> list[int]:
-        """Sorted doc_ids whose token stream matches `pattern` — the
-        serving form of query/infix.infix_docs, same supported subset
-        (module docstring there), same variant-union / slot-anchor
-        algorithm, evaluated in numpy over pyarrow reads."""
+    def _positions_map(self, hs: list[int]) -> dict[int, np.ndarray]:
+        """doc → sorted unique token positions where ANY of the candidate
+        term hashes occurs — one bucket-pruned postings+positions read."""
+        import pyarrow.dataset as pads
+
+        from .codec import decode_positions
+
+        if not hs:
+            return {}
+        buckets = sorted({h % self.n_buckets for h in hs})
+        t = self._ix.to_table(
+            columns=["n", "tf_off", "dl_off", "postings", "positions"],
+            filter=pads.field("bucket").isin(buckets)
+            & pads.field("term_hash").isin(hs),
+        )
+        parts: dict[int, list[np.ndarray]] = {}
+        for r in t.to_pylist():
+            if r["positions"] is None:
+                raise ValueError("index was built with with_positions=False")
+            d, tf, _dl = decode_postings(
+                bytes(r["postings"]), r["n"], r["tf_off"], r["dl_off"]
+            )
+            flat, _ = decode_positions(bytes(r["positions"]), tf)
+            plists = np.split(flat, np.cumsum(tf)[:-1])
+            for doc, p in zip(d.tolist(), plists):
+                parts.setdefault(doc, []).append(p)
+        return {doc: np.unique(np.concatenate(ps)) for doc, ps in parts.items()}
+
+    def _doc_dls(self, docs: set[int]) -> dict[int, int]:
+        import pyarrow.dataset as pads
+
+        if not docs:
+            return {}
+        t = self._docs_ds.to_table(
+            columns=["doc_id", "dl"],
+            filter=pads.field("doc_id").isin(list(docs)),
+        )
+        return dict(zip(t["doc_id"].to_pylist(), t["dl"].to_pylist()))
+
+    def _dp_infix_docs(self, pattern: str) -> set[int]:
+        """Serving form of query/infix._dp_docs — the per-boundary
+        positional DP for many-wildcard patterns, evaluated in numpy over
+        pyarrow reads (same states/transitions; see that docstring)."""
         import re
 
         import pyarrow.dataset as pads
 
         from .query.infix import (
+            _dp_boundaries,
+            _dp_seg,
+            _dp_validate,
+            required_run_from_units,
+        )
+
+        units = _dp_validate(pattern)
+        bounds = _dp_boundaries(units)
+
+        def cand_positions(seg, kind) -> dict[int, np.ndarray]:
+            f = "".join(t for _, t in seg)
+            rx = {
+                "suffix": f + "$", "whole": "^" + f + "$", "prefix": "^" + f,
+            }[kind]
+            rxc = re.compile(rx)
+            run = required_run_from_units(seg)
+            rows = self._vocab_matching(
+                rx,
+                rxc.search,
+                run,
+                # anchored grams are only valid when the required run
+                # actually touches the anchored edge (same rule as the
+                # Spark path — otherwise the prune would be lossy)
+                prefix_anchor=kind in ("whole", "prefix")
+                and f.startswith(run),
+                suffix_anchor=kind in ("whole", "suffix")
+                and f.endswith(run),
+            )
+            return self._positions_map([h for _, h in rows])
+
+        result: set[int] = set()
+        seg_all = _dp_seg(units, None, None)
+        if seg_all:
+            f = "".join(t for _, t in seg_all)
+            rxc = re.compile(f)
+            rows = self._vocab_matching(
+                "single:" + f, rxc.search, required_run_from_units(seg_all)
+            )
+            result |= set(self._positions_map([h for _, h in rows]))
+
+        def merge(into, add):
+            for doc, p in add.items():
+                prev = into.get(doc)
+                into[doc] = p if prev is None else np.union1d(prev, p)
+
+        states: list = [None] * len(bounds)
+        for i, b in enumerate(bounds):
+            seg = _dp_seg(units, None, b)
+            if seg is not None:
+                if not seg:
+                    states[i] = "EMPTY"
+                else:
+                    states[i] = cand_positions(seg, "suffix")
+            for j in range(i):
+                if states[j] is None:
+                    continue
+                seg = _dp_seg(units, bounds[j], b)
+                if seg is None or not seg:
+                    continue
+                step = cand_positions(seg, "whole")
+                if states[j] == "EMPTY":
+                    nxt = {
+                        doc: p[p >= 1]
+                        for doc, p in step.items()
+                        if (p >= 1).any()
+                    }
+                else:
+                    nxt = {}
+                    for doc, p in step.items():
+                        prev = states[j].get(doc)
+                        if prev is None:
+                            continue
+                        q = p[np.isin(p - 1, prev)]
+                        if q.size:
+                            nxt[doc] = q
+                if states[i] is None:
+                    states[i] = dict(nxt)
+                elif states[i] == "EMPTY":
+                    # cannot happen (EMPTY only at unit 0, no earlier
+                    # boundary exists); guard for clarity
+                    states[i] = dict(nxt)
+                else:
+                    merge(states[i], nxt)
+
+            if states[i] is None:
+                continue
+            tail = _dp_seg(units, b, None)
+            if tail is None:
+                continue
+            if not tail:
+                if states[i] == "EMPTY":
+                    t = self._docs_ds.to_table(
+                        columns=["doc_id"], filter=pads.field("dl") >= 2
+                    )
+                    result.update(int(d) for d in t["doc_id"].to_pylist())
+                else:
+                    dls = self._doc_dls(set(states[i]))
+                    result.update(
+                        doc
+                        for doc, p in states[i].items()
+                        if (p <= dls.get(doc, 0) - 2).any()
+                    )
+            else:
+                step = cand_positions(tail, "prefix")
+                if states[i] == "EMPTY":
+                    result.update(
+                        doc for doc, p in step.items() if (p >= 1).any()
+                    )
+                else:
+                    for doc, p in step.items():
+                        prev = states[i].get(doc)
+                        if prev is not None and np.isin(p - 1, prev).any():
+                            result.add(doc)
+        return result
+
+    def infix_docs(self, pattern: str) -> list[int]:
+        """Sorted doc_ids whose token stream matches `pattern` — the
+        serving form of query/infix.infix_docs, same supported subset
+        (module docstring there): variant-union / slot-anchor for few
+        wildcards, the positional DP (_dp_infix_docs) past _ENUM_DOTS —
+        evaluated in numpy over pyarrow reads."""
+        import re
+
+        import pyarrow.dataset as pads
+
+        from .query.infix import (
+            _ENUM_DOTS,
             _slot_regexes,
             _units,
             expand,
@@ -545,8 +710,12 @@ class LocalSearcher:
         )
 
         all_frags: set[tuple[str, ...]] = set()
+        dp_result: set[int] = set()
         for p in expand(pattern):
-            all_frags.update(variants(p))
+            if p.count(".") > _ENUM_DOTS:
+                dp_result |= self._dp_infix_docs(p)
+            else:
+                all_frags.update(variants(p))
 
         result: set[int] = set()
         for frags in sorted(all_frags):
@@ -642,4 +811,4 @@ class LocalSearcher:
                     anchors = anchors[anchors + k <= doc_dl[doc] - 1]
                 if anchors.size:
                     result.add(int(doc))
-        return sorted(result)
+        return sorted(result | dp_result)

@@ -128,6 +128,10 @@ def test_infix_matches_engine(searcher, engine):
         " able", ".able", " able ", "able ", "e ",
         "merge (fast|slow)", "s(can|low)", "merge|scan",
         "(able|data) ta.le", "x(y|z)?a",
+        # > _ENUM_DOTS wildcards: the serving-side positional DP
+        "d.t...t..bl.", ".e..e...s.", "a....a....a",
+        # bounded dot quantifiers (rewritten to dot-run groups)
+        "erge.{2}as", "ta.{1,2}e", "s.?an",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
