@@ -303,6 +303,8 @@ def pattern_supported(pattern: str) -> bool:
         return False
     try:
         for p in expand(pattern):
+            if detect_gap(p) is not None:
+                continue
             if p.count(".") > _ENUM_DOTS:
                 _dp_validate(p)
             else:
@@ -310,6 +312,69 @@ def pattern_supported(pattern: str) -> bool:
         return True
     except ValueError:
         return False
+
+
+_GAP_RX = _re.compile(r"\.([*+])")
+
+
+def detect_gap(pattern: str):
+    """A single INTERIOR unbounded gap `A.*B` / `A.+B` with A, B nonempty
+    single-fragment subpatterns (no further dots or spaces — classes,
+    quantifiers, and in-token groups are fine). Returns (A, plus, B) or
+    None. The gap absorbs arbitrary stream characters INCLUDING token
+    boundaries, so the match condition decomposes exactly:
+
+      * same token: a term matching /A.*B/ (or /A.+B/), else
+      * cross token: A occurs in an earlier token than B — everything
+        between (which always includes ≥ 1 character, the space) is
+        eaten by the gap, so `.+` and `.*` coincide across tokens.
+
+    Leading/trailing unbounded dots stay unsupported (they degenerate to
+    stream-edge trivia), as do multiple gaps (sequential-chain matching —
+    the scan path answers those)."""
+    ms = list(_GAP_RX.finditer(pattern))
+    if len(ms) != 1:
+        return None
+    m = ms[0]
+    a, b = pattern[: m.start()], pattern[m.end():]
+    if not a or not b or "." in a or "." in b or " " in a or " " in b:
+        return None
+    try:
+        ua, ub = _units(a), _units(b)
+    except ValueError:
+        return None
+    if not (_has_required(ua) and _has_required(ub)):
+        return None
+    return a, m.group(1) == "+", b
+
+
+def _gap_docs(engine, vocab, ngrams, a: str, plus: bool, b: str) -> DataFrame:
+    """Evaluate one unbounded gap (see detect_gap): same-token candidates
+    from the whole regex, cross-token matches from min_pos(A) < max_pos(B)
+    — two gram-pruned vocab scans, two positions decodes, one tiny join."""
+
+    def cand(rx: str, run_src: str):
+        run = required_run_from_units(_units(run_src))
+        pruned = prune_terms_by_grams(vocab, ngrams, run)
+        base = pruned if pruned is not None else vocab
+        return base.filter(F.col("term").rlike(rx)).select("term_hash")
+
+    same_rx = a + (".+" if plus else ".*") + b
+    same = engine._docs_for_hashes(cand(same_rx, a)).select("doc_id")
+    pa = (
+        engine._positions_for_hashes(cand(a, a))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("mn"))
+    )
+    pb = (
+        engine._positions_for_hashes(cand(b, b))
+        .groupBy("doc_id")
+        .agg(F.max("pos").alias("mx"))
+    )
+    cross = (
+        pa.join(pb, "doc_id").filter(F.col("mn") < F.col("mx")).select("doc_id")
+    )
+    return same.union(cross)
 
 
 def _dp_boundaries(units: list[tuple[str, str]]) -> list[int]:
@@ -572,7 +637,10 @@ def infix_docs(engine, pattern: str) -> DataFrame:
     all_frags: set[tuple[str, ...]] = set()
     dp_results: list[DataFrame] = []
     for p in expand(pattern):
-        if p.count(".") > _ENUM_DOTS:
+        g = detect_gap(p)
+        if g is not None:
+            dp_results.append(_gap_docs(engine, vocab, ngrams, *g))
+        elif p.count(".") > _ENUM_DOTS:
             dp_results.append(_dp_docs(engine, p, vocab, ngrams))
         else:
             all_frags.update(variants(p))

@@ -690,12 +690,37 @@ class LocalSearcher:
                             result.add(doc)
         return result
 
+    def _gap_infix_docs(self, a: str, plus: bool, b: str) -> set[int]:
+        """Serving form of query/infix._gap_docs: one unbounded gap —
+        same-token regex candidates plus min_pos(A) < max_pos(B)."""
+        import re
+
+        from .query.infix import _units, required_run_from_units
+
+        def pmap(rx: str, run_src: str):
+            rxc = re.compile(rx)
+            rows = self._vocab_matching(
+                "gap:" + rx, rxc.search, required_run_from_units(_units(run_src))
+            )
+            return self._positions_map([h for _, h in rows])
+
+        same_rx = a + (".+" if plus else ".*") + b
+        result = set(pmap(same_rx, a))
+        pa = pmap(a, a)
+        pb = pmap(b, b)
+        for doc, p in pa.items():
+            q = pb.get(doc)
+            if q is not None and int(p.min()) < int(q.max()):
+                result.add(doc)
+        return result
+
     def infix_docs(self, pattern: str) -> list[int]:
         """Sorted doc_ids whose token stream matches `pattern` — the
         serving form of query/infix.infix_docs, same supported subset
         (module docstring there): variant-union / slot-anchor for few
-        wildcards, the positional DP (_dp_infix_docs) past _ENUM_DOTS —
-        evaluated in numpy over pyarrow reads."""
+        wildcards, the positional DP (_dp_infix_docs) past _ENUM_DOTS,
+        single unbounded gaps via _gap_infix_docs — evaluated in numpy
+        over pyarrow reads."""
         import re
 
         import pyarrow.dataset as pads
@@ -709,10 +734,15 @@ class LocalSearcher:
             variants,
         )
 
+        from .query.infix import detect_gap
+
         all_frags: set[tuple[str, ...]] = set()
         dp_result: set[int] = set()
         for p in expand(pattern):
-            if p.count(".") > _ENUM_DOTS:
+            g = detect_gap(p)
+            if g is not None:
+                dp_result |= self._gap_infix_docs(*g)
+            elif p.count(".") > _ENUM_DOTS:
                 dp_result |= self._dp_infix_docs(p)
             else:
                 all_frags.update(variants(p))

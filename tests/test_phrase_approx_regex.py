@@ -108,6 +108,9 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # bounded dot quantifiers rewrite to dot-run alternation
         "erge.{2}as", "ta.{1,2}e", "s.?an", "merge.{0,1}fast",
         "a.{3}a", "d.{1,3}ta",
+        # single interior unbounded gap: same-token OR ordered cross-token
+        "erge.*fas", "able.+sc", "mer.*ast", "s[cl]an.*table",
+        "zzz.*merge", "merge.+zzz", "(ab.*le|qqq)",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
