@@ -244,6 +244,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_dots"] = lambda s, d: _engine(s, d).infix_docs(
         ".t.bl...c.n."
     )
+    # single interior unbounded gap: same-token regex candidates plus the
+    # ordered cross-token positional join (query/infix._gap_docs)
+    q["fts_regex_infix_gap"] = lambda s, d: _engine(s, d).infix_docs(
+        "erge.*fas"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -519,6 +524,11 @@ WHERE regexp_matches(s, 'ta(b|c)+le fas') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.t.bl...c.n.') ORDER BY doc_id"""
+
+    o["fts_regex_infix_gap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'erge.*fas') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),
