@@ -303,7 +303,7 @@ def pattern_supported(pattern: str) -> bool:
         return False
     try:
         for p in expand(pattern):
-            if detect_gap(p) is not None:
+            if detect_gap(p) is not None or detect_gap2(p) is not None:
                 continue
             if p.count(".") > _ENUM_DOTS:
                 _dp_validate(p)
@@ -330,22 +330,50 @@ def detect_gap(pattern: str):
         eaten by the gap, so `.+` and `.*` coincide across tokens.
 
     Leading/trailing unbounded dots stay unsupported (they degenerate to
-    stream-edge trivia), as do multiple gaps (sequential-chain matching —
-    the scan path answers those)."""
+    stream-edge trivia); two-gap chains A.*B.*C go through detect_gap2,
+    deeper chains to the scan path."""
     ms = list(_GAP_RX.finditer(pattern))
     if len(ms) != 1:
         return None
     m = ms[0]
     a, b = pattern[: m.start()], pattern[m.end():]
-    if not a or not b or "." in a or "." in b or " " in a or " " in b:
-        return None
-    try:
-        ua, ub = _units(a), _units(b)
-    except ValueError:
-        return None
-    if not (_has_required(ua) and _has_required(ub)):
+    if not _gap_part_ok(a) or not _gap_part_ok(b):
         return None
     return a, m.group(1) == "+", b
+
+
+def _gap_part_ok(part: str) -> bool:
+    """A gap part must be a nonempty single-fragment subpattern: no
+    further dots or spaces, lexes, and cannot match empty."""
+    if not part or "." in part or " " in part:
+        return False
+    try:
+        return _has_required(_units(part))
+    except ValueError:
+        return False
+
+
+def detect_gap2(pattern: str):
+    """Two interior unbounded gaps `A.*B.*C` (any mix of * and +).
+    Returns (a, plus1, b, plus2, c) or None. Exhaustive token-assignment
+    decomposition (parts are char-ordered, so only ADJACENT parts can
+    share a token, and all three share iff the outer two do):
+
+      1. strict   ta < tb < tc: ∃ B-position p, min_pos(A) < p < max_pos(C)
+      2. AB merge term /A∘B/ at ta, C later: min_pos(A∘B) < max_pos(C)
+      3. BC merge A earlier, term /B∘C/ at tc: min_pos(A) < max_pos(B∘C)
+      4. all one token: term /A∘B∘C/
+    (∘ = the gap's own .*/.+ — across tokens both coincide because the
+    inter-token space feeds the gap.)"""
+    ms = list(_GAP_RX.finditer(pattern))
+    if len(ms) != 2:
+        return None
+    a = pattern[: ms[0].start()]
+    b = pattern[ms[0].end(): ms[1].start()]
+    c = pattern[ms[1].end():]
+    if not (_gap_part_ok(a) and _gap_part_ok(b) and _gap_part_ok(c)):
+        return None
+    return a, ms[0].group(1) == "+", b, ms[1].group(1) == "+", c
 
 
 def _gap_docs(engine, vocab, ngrams, a: str, plus: bool, b: str) -> DataFrame:
@@ -375,6 +403,60 @@ def _gap_docs(engine, vocab, ngrams, a: str, plus: bool, b: str) -> DataFrame:
         pa.join(pb, "doc_id").filter(F.col("mn") < F.col("mx")).select("doc_id")
     )
     return same.union(cross)
+
+
+def _gap2_docs(
+    engine, vocab, ngrams, a: str, plus1: bool, b: str, plus2: bool, c: str
+) -> DataFrame:
+    """Evaluate a two-gap chain (see detect_gap2's four-combo proof)."""
+
+    def cand(rx: str, run_src: str):
+        run = required_run_from_units(_units(run_src))
+        pruned = prune_terms_by_grams(vocab, ngrams, run)
+        base = pruned if pruned is not None else vocab
+        return base.filter(F.col("term").rlike(rx)).select("term_hash")
+
+    g1 = ".+" if plus1 else ".*"
+    g2 = ".+" if plus2 else ".*"
+
+    def minpos(rx, run_src, name):
+        return (
+            engine._positions_for_hashes(cand(rx, run_src))
+            .groupBy("doc_id")
+            .agg(F.min("pos").alias(name))
+        )
+
+    def maxpos(rx, run_src, name):
+        return (
+            engine._positions_for_hashes(cand(rx, run_src))
+            .groupBy("doc_id")
+            .agg(F.max("pos").alias(name))
+        )
+
+    mn_a = minpos(a, a, "mna")
+    mx_c = maxpos(c, c, "mxc")
+    pos_b = engine._positions_for_hashes(cand(b, b)).select("doc_id", "pos")
+    strict = (
+        pos_b.join(mn_a, "doc_id")
+        .join(mx_c, "doc_id")
+        .filter((F.col("pos") > F.col("mna")) & (F.col("pos") < F.col("mxc")))
+        .select("doc_id")
+        .distinct()
+    )
+    ab = (
+        minpos(a + g1 + b, a, "mn")
+        .join(mx_c.withColumnRenamed("mxc", "mx"), "doc_id")
+        .filter(F.col("mn") < F.col("mx"))
+        .select("doc_id")
+    )
+    bc = (
+        mn_a.withColumnRenamed("mna", "mn")
+        .join(maxpos(b + g2 + c, b, "mx"), "doc_id")
+        .filter(F.col("mn") < F.col("mx"))
+        .select("doc_id")
+    )
+    abc = engine._docs_for_hashes(cand(a + g1 + b + g2 + c, a)).select("doc_id")
+    return strict.union(ab).union(bc).union(abc)
 
 
 def _dp_boundaries(units: list[tuple[str, str]]) -> list[int]:
@@ -638,8 +720,11 @@ def infix_docs(engine, pattern: str) -> DataFrame:
     dp_results: list[DataFrame] = []
     for p in expand(pattern):
         g = detect_gap(p)
+        g2 = detect_gap2(p) if g is None else None
         if g is not None:
             dp_results.append(_gap_docs(engine, vocab, ngrams, *g))
+        elif g2 is not None:
+            dp_results.append(_gap2_docs(engine, vocab, ngrams, *g2))
         elif p.count(".") > _ENUM_DOTS:
             dp_results.append(_dp_docs(engine, p, vocab, ngrams))
         else:

@@ -714,6 +714,43 @@ class LocalSearcher:
                 result.add(doc)
         return result
 
+    def _gap2_infix_docs(
+        self, a: str, plus1: bool, b: str, plus2: bool, c: str
+    ) -> set[int]:
+        """Serving form of query/infix._gap2_docs (four-combo proof in
+        detect_gap2's docstring)."""
+        import re
+
+        from .query.infix import _units, required_run_from_units
+
+        def pmap(rx: str, run_src: str):
+            rxc = re.compile(rx)
+            rows = self._vocab_matching(
+                "gap:" + rx, rxc.search, required_run_from_units(_units(run_src))
+            )
+            return self._positions_map([h for _, h in rows])
+
+        g1 = ".+" if plus1 else ".*"
+        g2 = ".+" if plus2 else ".*"
+        pa, pb, pc = pmap(a, a), pmap(b, b), pmap(c, c)
+        pab, pbc = pmap(a + g1 + b, a), pmap(b + g2 + c, b)
+        result = set(pmap(a + g1 + b + g2 + c, a))  # all one token
+        for doc, p in pb.items():  # strict ta < tb < tc
+            x, z = pa.get(doc), pc.get(doc)
+            if x is not None and z is not None and (
+                (p > int(x.min())) & (p < int(z.max()))
+            ).any():
+                result.add(doc)
+        for doc, p in pab.items():  # AB merged, C later
+            z = pc.get(doc)
+            if z is not None and int(p.min()) < int(z.max()):
+                result.add(doc)
+        for doc, p in pbc.items():  # A earlier, BC merged
+            x = pa.get(doc)
+            if x is not None and int(x.min()) < int(p.max()):
+                result.add(doc)
+        return result
+
     def infix_docs(self, pattern: str) -> list[int]:
         """Sorted doc_ids whose token stream matches `pattern` — the
         serving form of query/infix.infix_docs, same supported subset
@@ -734,14 +771,17 @@ class LocalSearcher:
             variants,
         )
 
-        from .query.infix import detect_gap
+        from .query.infix import detect_gap, detect_gap2
 
         all_frags: set[tuple[str, ...]] = set()
         dp_result: set[int] = set()
         for p in expand(pattern):
             g = detect_gap(p)
+            g2 = detect_gap2(p) if g is None else None
             if g is not None:
                 dp_result |= self._gap_infix_docs(*g)
+            elif g2 is not None:
+                dp_result |= self._gap2_infix_docs(*g2)
             elif p.count(".") > _ENUM_DOTS:
                 dp_result |= self._dp_infix_docs(p)
             else:

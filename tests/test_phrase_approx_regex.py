@@ -111,6 +111,8 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # single interior unbounded gap: same-token OR ordered cross-token
         "erge.*fas", "able.+sc", "mer.*ast", "s[cl]an.*table",
         "zzz.*merge", "merge.+zzz", "(ab.*le|qqq)",
+        # two-gap chains: four-combo token-assignment decomposition
+        "mer.*tab.*fas", "a.+b.+c", "sc.*da.*le", "erge.+as.+ow",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]

@@ -132,8 +132,8 @@ def test_infix_matches_engine(searcher, engine):
         "d.t...t..bl.", ".e..e...s.", "a....a....a",
         # bounded dot quantifiers (rewritten to dot-run groups)
         "erge.{2}as", "ta.{1,2}e", "s.?an",
-        # single interior unbounded gap
-        "erge.*fas", "able.+sc",
+        # single interior unbounded gap + two-gap chain
+        "erge.*fas", "able.+sc", "mer.*tab.*fas", "a.+b.+c",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
