@@ -167,13 +167,6 @@ def main_default() -> None:
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "serving_search_ms_warm": round(serve_ms, 3),
                 "serving_proximity_ms_warm": round(serve_prox_ms, 3),
-                # round-4 barrier rework evidence, measured at the 2M-doc
-                # corpus (full numbers in BENCH/BASELINE.md): the dedup
-                # candidate barriers hold ZERO storage memory now
-                "dedup_barrier_2m_note": (
-                    "minhash_lsh 2M docs: 172s, 0MB storage-mem /"
-                    " 530MB disk barrier blocks"
-                ),
             }
         )
     )

@@ -247,9 +247,16 @@ def make_http_server(index_dir: str, host: str = "127.0.0.1", port: int = 8080):
     serve_forever(), or use it with port=0 in tests for an ephemeral
     port."""
     import http.server
+    import threading
     import urllib.parse
 
     handler = RequestHandler(LocalSearcher(index_dir))
+    # LocalSearcher's LRU caches (rows/positions/vocab pages) are plain
+    # OrderedDicts with no internal locking; ThreadingHTTPServer would let
+    # concurrent requests race an eviction against a read. Requests are
+    # stateless, so one lock around handle() is sufficient and keeps the
+    # searcher single-writer.
+    handler_lock = threading.Lock()
 
     class _Handler(http.server.BaseHTTPRequestHandler):
         def _respond(self, payload: str) -> None:
@@ -263,12 +270,16 @@ def make_http_server(index_dir: str, host: str = "127.0.0.1", port: int = 8080):
         def do_POST(self):  # noqa: N802 (stdlib naming)
             n = int(self.headers.get("Content-Length", 0) or 0)
             body = self.rfile.read(n).decode("utf-8", "replace")
-            self._respond(handler.handle(body))
+            with handler_lock:
+                out = handler.handle(body)
+            self._respond(out)
 
         def do_GET(self):  # noqa: N802
             qs = urllib.parse.urlparse(self.path).query
             q = urllib.parse.parse_qs(qs).get("q", [""])[0]
-            self._respond(handler.handle(q))
+            with handler_lock:
+                out = handler.handle(q)
+            self._respond(out)
 
         def log_message(self, *args):  # quiet: no per-request stderr spam
             pass

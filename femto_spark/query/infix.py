@@ -107,9 +107,9 @@ def _rewrite_dot_quants(pattern: str) -> str:
             lo, hi = 0, 1
         elif m.group(3) is not None:
             lo, hi = int(m.group(2)), int(m.group(3))
-        elif "," in q:
-            return m.group(0)  # `.{m,}`: unbounded — rejected downstream
         else:
+            # `.{m,}` never reaches here: _DOT_QUANT's `{m(,n)?}` arm has
+            # no open-ended form, so a match without group(3) is `.{m}`
             lo = hi = int(m.group(2))
         if hi == 0:
             return ""  # `.{0}` / `.{0,0}` matches only the empty string
