@@ -261,6 +261,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_gap"] = lambda s, d: _engine(s, d).infix_docs(
         "erge.*fas"
     )
+    # three-gap chain: 2^3 merge masks, greedy positional chains
+    # (query/infix.detect_gaps/_gapk_docs)
+    q["fts_regex_infix_gap3"] = lambda s, d: _engine(s, d).infix_docs(
+        "mer.*tab.*fas.*ow"
+    )
+    # edge gaps: the streamline rewrite (reference query_planning.c:24-218
+    # fix_initial/fix_final) — `.*B`≡`B` per branch, `A.+`≡`A.` guard
+    q["fts_regex_infix_edge"] = lambda s, d: _engine(s, d).infix_docs(
+        ".*erge.fas|data.+"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -521,6 +531,16 @@ WHERE regexp_matches(s, 'ta(b|c)+le fas') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.t.bl...c.n.') ORDER BY doc_id"""
+
+    o["fts_regex_infix_gap3"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'mer.*tab.*fas.*ow') ORDER BY doc_id"""
+
+    o["fts_regex_infix_edge"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, '.*erge.fas|data.+') ORDER BY doc_id"""
 
     o["fts_regex_infix_gap"] = f"""{_BASE}
 SELECT DISTINCT doc_id

@@ -28,6 +28,15 @@ top-level alternation `A|B`, and groups `(A|B)`:
     finite fragment form and falls back to the scan path);
   * nested groups fall back to the scan path.
 
+Unbounded dot gaps (`.*`/`.+`) are index-answered too: EDGE gaps
+rewrite away per branch (streamline(), the reference's
+query_planning.c fix_initial/fix_final analogue) and INTERIOR gap
+chains `P0.*P1.*…Pk` up to _MAX_GAPS gaps evaluate as 2^k
+token-merge masks decided by greedy positional chains (detect_gaps /
+_gapk_docs). Remaining scan-fallback residue: nested groups,
+quantified cross-token groups, and `.+`-edge guard dots combined
+with an interior gap chain.
+
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
 plus the full ERE subset its test templates exercise. Every fragment
@@ -294,16 +303,19 @@ def required_run_from_units(funits: list[tuple[str, str]]) -> str:
 
 def pattern_supported(pattern: str) -> bool:
     """True iff infix_docs will accept the pattern. Must mirror what
-    infix_docs actually evaluates: ≤ _ENUM_DOTS wildcards go through
-    variants() (which applies the all-optional-fragment rejection), more
-    through the positional DP (same rejection, checked per realizable
-    segment by _dp_validate) — there is no wildcard-count rejection on
-    the Spark path anymore, only the structural subset."""
+    infix_docs actually evaluates: branches are streamline()d (edge gaps
+    rewritten away), gap chains up to _MAX_GAPS go to the positional
+    chain evaluator, ≤ _ENUM_DOTS wildcards go through variants() (which
+    applies the all-optional-fragment rejection), more through the
+    positional DP (same rejection, checked per realizable segment by
+    _dp_validate) — there is no wildcard-count rejection on the Spark
+    path anymore, only the structural subset."""
     if not pattern:
         return False
     try:
         for p in expand(pattern):
-            if detect_gap(p) is not None or detect_gap2(p) is not None:
+            p = streamline(p)
+            if p == "" or detect_gaps(p) is not None:
                 continue
             if p.count(".") > _ENUM_DOTS:
                 _dp_validate(p)
@@ -315,31 +327,74 @@ def pattern_supported(pattern: str) -> bool:
 
 
 _GAP_RX = _re.compile(r"\.([*+])")
+_EDGE_HEAD = _re.compile(r"^\.(?:(\*)|(\+)|\{(\d+),\})")
+_EDGE_TAIL = _re.compile(r"\.(?:(\*)|(\+)|\{(\d+),\})$")
+_MAX_GAPS = 4  # gap chains: 2^k merge combos, capped tiny
 
 
-def detect_gap(pattern: str):
-    """A single INTERIOR unbounded gap `A.*B` / `A.+B` with A, B nonempty
-    single-fragment subpatterns (no further dots or spaces — classes,
-    quantifiers, and in-token groups are fine). Returns (A, plus, B) or
-    None. The gap absorbs arbitrary stream characters INCLUDING token
-    boundaries, so the match condition decomposes exactly:
+def streamline(pattern: str) -> str:
+    """The reference's streamline_query rewrite
+    (`/root/reference/src/main/query_planning.c:24-218`,
+    `fix_initial`/`fix_final`): for UNANCHORED stream search an
+    edge-unbounded dot gap reduces to at most a fixed dot run —
 
-      * same token: a term matching /A.*B/ (or /A.+B/), else
-      * cross token: A occurs in an earlier token than B — everything
-        between (which always includes ≥ 1 character, the space) is
-        eaten by the gap, so `.+` and `.*` coincide across tokens.
+      `.*B` ≡ `B`        `A.*` ≡ `A`        (zero-or-more: drop)
+      `.+B` ≡ `.B`       `A.+` ≡ `A.`       (the one-position guard)
+      `.{m,}B` ≡ `.{m}B` (≡ m dots)         and symmetrically at the tail
 
-    Leading/trailing unbounded dots stay unsupported (they degenerate to
-    stream-edge trivia); two-gap chains A.*B.*C go through detect_gap2,
-    deeper chains to the scan path."""
+    because the surplus characters the gap would consume are exactly the
+    characters unanchored matching already ignores. Applied per expanded
+    branch (an in-token group can't contain '.', so a textual edge match
+    IS an edge gap). May return "" (`.*` alone) — the match-everything
+    pattern, handled by the callers.
+
+    Residue: the guard dots a `.+`/`.{m,}` edge leaves behind combine
+    with every downstream plane EXCEPT an interior gap chain (`.a.*b`
+    needs char-level start positions the token-level chain doesn't
+    carry) — that one combination stays on the scan fallback."""
+    while True:
+        m = _EDGE_HEAD.match(pattern)
+        if m is None:
+            break
+        rep = "." if m.group(2) else "." * int(m.group(3) or 0)
+        pattern = rep + pattern[m.end():]
+        if rep:
+            break  # a literal dot run can't re-match the head
+    while True:
+        m = _EDGE_TAIL.search(pattern)
+        if m is None:
+            break
+        rep = "." if m.group(2) else "." * int(m.group(3) or 0)
+        pattern = pattern[: m.start()] + rep
+        if rep:
+            break
+    return pattern
+
+
+def detect_gaps(pattern: str):
+    """An interior unbounded-gap CHAIN `P0 .* P1 .* … Pk` (any mix of
+    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS) with every part a nonempty
+    single-fragment subpattern (no further dots or spaces — classes,
+    quantifiers, in-token groups are fine). Returns (parts, pluses) or
+    None. Exhaustive token-assignment decomposition: parts are
+    char-ordered, so only ADJACENT parts can share a token — each of the
+    2^k merge masks turns the chain into a sequence of token GROUPS
+    (adjacent merged parts joined by their gap's own .*/.+ inside one
+    term regex), and a doc matches the mask iff its stream has strictly
+    increasing token positions t0 < t1 < … matching the group regexes in
+    order (across tokens `.+` and `.*` coincide: the inter-token space
+    feeds the gap). Chain existence is decided greedily — earliest
+    feasible position per group (_gapk_docs). Edge gaps never reach here
+    (streamline() rewrote them)."""
     ms = list(_GAP_RX.finditer(pattern))
-    if len(ms) != 1:
+    if not 1 <= len(ms) <= _MAX_GAPS:
         return None
-    m = ms[0]
-    a, b = pattern[: m.start()], pattern[m.end():]
-    if not _gap_part_ok(a) or not _gap_part_ok(b):
+    starts = [0] + [m.end() for m in ms]
+    ends = [m.start() for m in ms] + [len(pattern)]
+    parts = [pattern[i:j] for i, j in zip(starts, ends)]
+    if not all(_gap_part_ok(p) for p in parts):
         return None
-    return a, m.group(1) == "+", b
+    return parts, [m.group(1) == "+" for m in ms]
 
 
 def _gap_part_ok(part: str) -> bool:
@@ -353,110 +408,72 @@ def _gap_part_ok(part: str) -> bool:
         return False
 
 
-def detect_gap2(pattern: str):
-    """Two interior unbounded gaps `A.*B.*C` (any mix of * and +).
-    Returns (a, plus1, b, plus2, c) or None. Exhaustive token-assignment
-    decomposition (parts are char-ordered, so only ADJACENT parts can
-    share a token, and all three share iff the outer two do):
-
-      1. strict   ta < tb < tc: ∃ B-position p, min_pos(A) < p < max_pos(C)
-      2. AB merge term /A∘B/ at ta, C later: min_pos(A∘B) < max_pos(C)
-      3. BC merge A earlier, term /B∘C/ at tc: min_pos(A) < max_pos(B∘C)
-      4. all one token: term /A∘B∘C/
-    (∘ = the gap's own .*/.+ — across tokens both coincide because the
-    inter-token space feeds the gap.)"""
-    ms = list(_GAP_RX.finditer(pattern))
-    if len(ms) != 2:
-        return None
-    a = pattern[: ms[0].start()]
-    b = pattern[ms[0].end(): ms[1].start()]
-    c = pattern[ms[1].end():]
-    if not (_gap_part_ok(a) and _gap_part_ok(b) and _gap_part_ok(c)):
-        return None
-    return a, ms[0].group(1) == "+", b, ms[1].group(1) == "+", c
+def _gap_groups(parts: list[str], pluses: list[bool], mask: int):
+    """Token groups for one merge mask: (regex, gram-run) per group. The
+    gram-run is the longest required literal run among the group's parts
+    — a term matching the merged regex contains a match of EVERY part,
+    so any part's run is a sound prune; pick the most selective."""
+    runs = [required_run_from_units(_units(p)) for p in parts]
+    groups: list[tuple[str, str]] = []
+    rx, run = parts[0], runs[0]
+    for i, plus in enumerate(pluses):
+        if (mask >> i) & 1:  # gap i merged: parts i, i+1 share a token
+            rx += (".+" if plus else ".*") + parts[i + 1]
+            run = max(run, runs[i + 1], key=len)
+        else:
+            groups.append((rx, run))
+            rx, run = parts[i + 1], runs[i + 1]
+    groups.append((rx, run))
+    return groups
 
 
-def _gap_docs(engine, vocab, ngrams, a: str, plus: bool, b: str) -> DataFrame:
-    """Evaluate one unbounded gap (see detect_gap): same-token candidates
-    from the whole regex, cross-token matches from min_pos(A) < max_pos(B)
-    — two gram-pruned vocab scans, two positions decodes, one tiny join."""
-
-    def cand(rx: str, run_src: str):
-        run = required_run_from_units(_units(run_src))
-        pruned = prune_terms_by_grams(vocab, ngrams, run)
-        base = pruned if pruned is not None else vocab
-        return base.filter(F.col("term").rlike(rx)).select("term_hash")
-
-    same_rx = a + (".+" if plus else ".*") + b
-    same = engine._docs_for_hashes(cand(same_rx, a)).select("doc_id")
-    pa = (
-        engine._positions_for_hashes(cand(a, a))
-        .groupBy("doc_id")
-        .agg(F.min("pos").alias("mn"))
-    )
-    pb = (
-        engine._positions_for_hashes(cand(b, b))
-        .groupBy("doc_id")
-        .agg(F.max("pos").alias("mx"))
-    )
-    cross = (
-        pa.join(pb, "doc_id").filter(F.col("mn") < F.col("mx")).select("doc_id")
-    )
-    return same.union(cross)
-
-
-def _gap2_docs(
-    engine, vocab, ngrams, a: str, plus1: bool, b: str, plus2: bool, c: str
+def _gapk_docs(
+    engine, vocab, ngrams, parts: list[str], pluses: list[bool]
 ) -> DataFrame:
-    """Evaluate a two-gap chain (see detect_gap2's four-combo proof)."""
+    """Evaluate a gap chain (see detect_gaps): union over the 2^k merge
+    masks; each mask's group sequence is decided by a greedy positional
+    chain — e₀ = min pos of group 0, eᵢ = min pos of group i greater
+    than eᵢ₋₁; the doc matches iff the chain completes (greedy earliest
+    extension is complete for existence of ANY increasing chain). Each
+    distinct group regex costs one gram-pruned vocab scan + one
+    positions decode, shared across masks."""
 
-    def cand(rx: str, run_src: str):
-        run = required_run_from_units(_units(run_src))
+    def cand(rx: str, run: str):
         pruned = prune_terms_by_grams(vocab, ngrams, run)
         base = pruned if pruned is not None else vocab
         return base.filter(F.col("term").rlike(rx)).select("term_hash")
 
-    g1 = ".+" if plus1 else ".*"
-    g2 = ".+" if plus2 else ".*"
+    pos_cache: dict[str, DataFrame] = {}
 
-    def minpos(rx, run_src, name):
-        return (
-            engine._positions_for_hashes(cand(rx, run_src))
-            .groupBy("doc_id")
-            .agg(F.min("pos").alias(name))
-        )
+    def pos_of(rx: str, run: str) -> DataFrame:
+        if rx not in pos_cache:
+            pos_cache[rx] = engine._positions_for_hashes(
+                cand(rx, run)
+            ).select("doc_id", "pos")
+        return pos_cache[rx]
 
-    def maxpos(rx, run_src, name):
-        return (
-            engine._positions_for_hashes(cand(rx, run_src))
-            .groupBy("doc_id")
-            .agg(F.max("pos").alias(name))
-        )
-
-    mn_a = minpos(a, a, "mna")
-    mx_c = maxpos(c, c, "mxc")
-    pos_b = engine._positions_for_hashes(cand(b, b)).select("doc_id", "pos")
-    strict = (
-        pos_b.join(mn_a, "doc_id")
-        .join(mx_c, "doc_id")
-        .filter((F.col("pos") > F.col("mna")) & (F.col("pos") < F.col("mxc")))
-        .select("doc_id")
-        .distinct()
-    )
-    ab = (
-        minpos(a + g1 + b, a, "mn")
-        .join(mx_c.withColumnRenamed("mxc", "mx"), "doc_id")
-        .filter(F.col("mn") < F.col("mx"))
-        .select("doc_id")
-    )
-    bc = (
-        mn_a.withColumnRenamed("mna", "mn")
-        .join(maxpos(b + g2 + c, b, "mx"), "doc_id")
-        .filter(F.col("mn") < F.col("mx"))
-        .select("doc_id")
-    )
-    abc = engine._docs_for_hashes(cand(a + g1 + b + g2 + c, a)).select("doc_id")
-    return strict.union(ab).union(bc).union(abc)
+    result: DataFrame | None = None
+    for mask in range(1 << len(pluses)):
+        groups = _gap_groups(parts, pluses, mask)
+        if len(groups) == 1:
+            d = engine._docs_for_hashes(cand(*groups[0])).select("doc_id")
+        else:
+            e = (
+                pos_of(*groups[0])
+                .groupBy("doc_id")
+                .agg(F.min("pos").alias("e"))
+            )
+            for g in groups[1:]:
+                e = (
+                    pos_of(*g)
+                    .join(e, "doc_id")
+                    .filter(F.col("pos") > F.col("e"))
+                    .groupBy("doc_id")
+                    .agg(F.min("pos").alias("e"))
+                )
+            d = e.select("doc_id")
+        result = d if result is None else result.union(d)
+    return result
 
 
 def _dp_boundaries(units: list[tuple[str, str]]) -> list[int]:
@@ -712,19 +729,23 @@ def infix_docs(engine, pattern: str) -> DataFrame:
 
     ngrams = ensure_vocab_ngrams(spark, engine.index_dir)
 
-    # alternation/groups expand to patterns; dedup shared fragment-tuples
-    # so common variants across branches evaluate once. Many-wildcard
-    # branches (> _ENUM_DOTS dots) skip enumeration for the positional
-    # DP — polynomial in dots instead of 2^dots
+    # alternation/groups expand to patterns; each branch is streamlined
+    # (edge gaps rewritten away); dedup shared fragment-tuples so common
+    # variants across branches evaluate once. Gap chains go to the
+    # positional chain evaluator; many-wildcard branches (> _ENUM_DOTS
+    # dots) skip enumeration for the positional DP — polynomial in dots
+    # instead of 2^dots
     all_frags: set[tuple[str, ...]] = set()
     dp_results: list[DataFrame] = []
     for p in expand(pattern):
-        g = detect_gap(p)
-        g2 = detect_gap2(p) if g is None else None
+        p = streamline(p)
+        if p == "":
+            # a pure edge-gap branch (`.*`): matches every doc
+            dp_results.append(engine._docs.select("doc_id"))
+            continue
+        g = detect_gaps(p)
         if g is not None:
-            dp_results.append(_gap_docs(engine, vocab, ngrams, *g))
-        elif g2 is not None:
-            dp_results.append(_gap2_docs(engine, vocab, ngrams, *g2))
+            dp_results.append(_gapk_docs(engine, vocab, ngrams, *g))
         elif p.count(".") > _ENUM_DOTS:
             dp_results.append(_dp_docs(engine, p, vocab, ngrams))
         else:

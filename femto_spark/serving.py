@@ -690,65 +690,46 @@ class LocalSearcher:
                             result.add(doc)
         return result
 
-    def _gap_infix_docs(self, a: str, plus: bool, b: str) -> set[int]:
-        """Serving form of query/infix._gap_docs: one unbounded gap —
-        same-token regex candidates plus min_pos(A) < max_pos(B)."""
+    def _gapk_infix_docs(self, parts: list[str], pluses: list[bool]) -> set[int]:
+        """Serving form of query/infix._gapk_docs: union over the 2^k
+        merge masks, each decided by the greedy positional chain (doc
+        matches iff strictly increasing token positions exist matching
+        the mask's group regexes in order). Position maps are cached per
+        distinct group regex across masks."""
         import re
 
-        from .query.infix import _units, required_run_from_units
+        from .query.infix import _gap_groups
 
-        def pmap(rx: str, run_src: str):
-            rxc = re.compile(rx)
-            rows = self._vocab_matching(
-                "gap:" + rx, rxc.search, required_run_from_units(_units(run_src))
-            )
-            return self._positions_map([h for _, h in rows])
+        pmap_cache: dict[str, dict] = {}
 
-        same_rx = a + (".+" if plus else ".*") + b
-        result = set(pmap(same_rx, a))
-        pa = pmap(a, a)
-        pb = pmap(b, b)
-        for doc, p in pa.items():
-            q = pb.get(doc)
-            if q is not None and int(p.min()) < int(q.max()):
-                result.add(doc)
-        return result
+        def pmap(rx: str, run: str):
+            if rx not in pmap_cache:
+                rxc = re.compile(rx)
+                rows = self._vocab_matching("gap:" + rx, rxc.search, run)
+                pmap_cache[rx] = self._positions_map([h for _, h in rows])
+            return pmap_cache[rx]
 
-    def _gap2_infix_docs(
-        self, a: str, plus1: bool, b: str, plus2: bool, c: str
-    ) -> set[int]:
-        """Serving form of query/infix._gap2_docs (four-combo proof in
-        detect_gap2's docstring)."""
-        import re
-
-        from .query.infix import _units, required_run_from_units
-
-        def pmap(rx: str, run_src: str):
-            rxc = re.compile(rx)
-            rows = self._vocab_matching(
-                "gap:" + rx, rxc.search, required_run_from_units(_units(run_src))
-            )
-            return self._positions_map([h for _, h in rows])
-
-        g1 = ".+" if plus1 else ".*"
-        g2 = ".+" if plus2 else ".*"
-        pa, pb, pc = pmap(a, a), pmap(b, b), pmap(c, c)
-        pab, pbc = pmap(a + g1 + b, a), pmap(b + g2 + c, b)
-        result = set(pmap(a + g1 + b + g2 + c, a))  # all one token
-        for doc, p in pb.items():  # strict ta < tb < tc
-            x, z = pa.get(doc), pc.get(doc)
-            if x is not None and z is not None and (
-                (p > int(x.min())) & (p < int(z.max()))
-            ).any():
-                result.add(doc)
-        for doc, p in pab.items():  # AB merged, C later
-            z = pc.get(doc)
-            if z is not None and int(p.min()) < int(z.max()):
-                result.add(doc)
-        for doc, p in pbc.items():  # A earlier, BC merged
-            x = pa.get(doc)
-            if x is not None and int(x.min()) < int(p.max()):
-                result.add(doc)
+        result: set[int] = set()
+        for mask in range(1 << len(pluses)):
+            groups = _gap_groups(parts, pluses, mask)
+            maps = [pmap(*g) for g in groups]
+            if len(maps) == 1:
+                result |= set(maps[0])
+                continue
+            common = set(maps[0])
+            for mp in maps[1:]:
+                common &= mp.keys()
+            for doc in common - result:
+                e = int(maps[0][doc].min())
+                ok = True
+                for mp in maps[1:]:
+                    later = mp[doc][mp[doc] > e]
+                    if later.size == 0:
+                        ok = False
+                        break
+                    e = int(later.min())
+                if ok:
+                    result.add(doc)
         return result
 
     def infix_docs(self, pattern: str) -> list[int]:
@@ -766,22 +747,25 @@ class LocalSearcher:
             _ENUM_DOTS,
             _slot_regexes,
             _units,
+            detect_gaps,
             expand,
             required_run_from_units,
+            streamline,
             variants,
         )
-
-        from .query.infix import detect_gap, detect_gap2
 
         all_frags: set[tuple[str, ...]] = set()
         dp_result: set[int] = set()
         for p in expand(pattern):
-            g = detect_gap(p)
-            g2 = detect_gap2(p) if g is None else None
+            p = streamline(p)
+            if p == "":
+                # a pure edge-gap branch (`.*`): matches every doc
+                t = self._docs_ds.to_table(columns=["doc_id"])
+                dp_result.update(int(d) for d in t["doc_id"].to_pylist())
+                continue
+            g = detect_gaps(p)
             if g is not None:
-                dp_result |= self._gap_infix_docs(*g)
-            elif g2 is not None:
-                dp_result |= self._gap2_infix_docs(*g2)
+                dp_result |= self._gapk_infix_docs(*g)
             elif p.count(".") > _ENUM_DOTS:
                 dp_result |= self._dp_infix_docs(p)
             else:

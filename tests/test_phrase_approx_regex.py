@@ -113,6 +113,13 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "zzz.*merge", "merge.+zzz", "(ab.*le|qqq)",
         # two-gap chains: four-combo token-assignment decomposition
         "mer.*tab.*fas", "a.+b.+c", "sc.*da.*le", "erge.+as.+ow",
+        # k-gap chains (3 and 4 gaps): 2^k merge masks + greedy chains
+        "m.*a.*t.*s", "a.+b.*c.+d", "s.*c.*a.*n", "d.*a.*t.*a.*b",
+        "e.+r.+g.+e", "t.*a.+b.*l.+e",
+        # edge gaps: streamline rewrite (`.*B`≡`B`, `.+B`≡`.B`, …)
+        ".*able", "merge.*", ".+able", "able.+", ".*erge.fas",
+        ".{2,}able", "able.{3,}", ".*mer.*ast", ".*a.+b.*",
+        ".*able.*", ".+merge.+", ".+erge.fas", "data.+",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -192,8 +199,9 @@ def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
     for bad in [
-        ".+x", "x.*", "x* y", "[a b]",          # quantified '.' / empty-matching
+        "x* y", "[a b]",                          # empty-matching / bad class
         "(a(b|c))d", "(a b)+", "(x.y)*", "a||b",  # nested / quantified cross-token
+        ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

@@ -134,6 +134,9 @@ def test_infix_matches_engine(searcher, engine):
         "erge.{2}as", "ta.{1,2}e", "s.?an",
         # single interior unbounded gap + two-gap chain
         "erge.*fas", "able.+sc", "mer.*tab.*fas", "a.+b.+c",
+        # k-gap chains and streamlined edge gaps
+        "m.*a.*t.*s", "a.+b.*c.+d", "t.*a.+b.*l.+e",
+        ".*able", "merge.*", ".+able", "able.+", ".{2,}able",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
