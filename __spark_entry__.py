@@ -283,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e", limit=10, direction="left"
     )
     q["fts_suggest"] = lambda s, d: _engine(s, d).suggest("mergq", limit=10)
+    # more-like-this (femto_similar analogue, similar_tool.c): top-5
+    # tf*idf terms of doc 3 -> OR-mode BM25 top-10
+    q["fts_similar"] = lambda s, d: _engine(s, d).similar(3, n_terms=5, k=10)
     q["fts_query_language"] = lambda s, d: _engine(s, d).query(
         "(data OR table) NOT scan"
     )
@@ -615,6 +618,25 @@ best AS (SELECT pre FROM hit ORDER BY ln DESC LIMIT 1)
 SELECT term, df, (SELECT pre FROM best) AS matched_prefix
 FROM dfs WHERE term LIKE (SELECT pre FROM best) || '%'
 ORDER BY df DESC, term ASC LIMIT 10"""
+
+    # more-like-this: deterministic tf*idf term selection from doc 3,
+    # then the standard BM25 (same score fragment, ascending-term fold)
+    _sim_score = duckdb_score_sql("tf.tf", "dl.dl", "dfc.df", "st.n", "st.avgdl")
+    o["fts_similar"] = f"""{_BASE},
+dtf AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 3 GROUP BY term),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+sel AS (SELECT dtf.term FROM dtf JOIN alldf USING (term) CROSS JOIN st
+        ORDER BY floor(ln(1.0 + (st.n - alldf.df + 0.5) / (alldf.df + 0.5))
+                       * dtf.tf * 1e6 + 0.5) / 1e6 DESC, dtf.term ASC
+        LIMIT 5),
+tf  AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc  AS (SELECT tf.doc_id, tf.term, CAST({_sim_score} AS DOUBLE) AS s
+        FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+agg AS (SELECT doc_id, sum(s ORDER BY term) AS raw FROM sc GROUP BY doc_id)
+SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     o["fts_extract_doc"] = "SELECT doc_id, text FROM documents WHERE doc_id = 3"
 

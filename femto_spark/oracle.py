@@ -87,6 +87,25 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def similar(
+        self, doc_id: int, n_terms: int = 5, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """More-like-this (femto_similar analogue): the doc's terms ranked
+        by rounded tf*idf (ties → term asc), top n_terms into an OR-mode
+        BM25 search — the engine.similar contract."""
+        from .scoring import idf
+
+        tf = {
+            t: len(pl[doc_id])
+            for t, pl in self.postings.items()
+            if doc_id in pl
+        }
+        ranked = sorted(
+            (-round_score(idf(len(self.postings[t]), self.n_docs) * tf[t]), t)
+            for t in tf
+        )[:n_terms]
+        return self.search(" ".join(t for _, t in ranked), k=k)
+
     # -- proximity: THEN d / WITHIN d (results.c:732-950) -------------------
     def proximity(
         self, left: str, right: str, d: int, ordered: bool

@@ -645,6 +645,39 @@ class SearchEngine:
 
         return eval_with_engine(self, parse_query(q))
 
+    def similar(self, doc_id: int, n_terms: int = 5, k: int = 10) -> DataFrame:
+        """More-like-this — the femto_similar analogue (reference
+        src/main/similar_tool.c, a shipped CLI that scores indexed
+        documents against a provided document's content;
+        src/main/Makefile.am:35-36). The posting-list form: DETERMINISTIC
+        term selection from the source document — each of its terms
+        scored tf × idf (idf from the index termstats, the exact ln form
+        scoring.py pins; product rounded like scores so cross-engine ULP
+        noise can't flip the cut), ties broken by term ascending — then
+        an OR-mode BM25 top-k over the selected terms. The source
+        document ranks like any other (typically first). The driver-side
+        work is O(|doc| + n_terms): one extract, one memoized stats
+        lookup; the search itself is the distributed BM25 plan."""
+        from collections import Counter
+
+        from ..scoring import idf, round_score
+
+        if self.corpus is None:
+            raise ValueError("similar() needs the corpus DataFrame")
+        rows = self.extract(doc_id).collect()
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tf = Counter(tokenize(rows[0]["text"]))
+        st = self._term_stats(sorted(tf))
+        ranked = sorted(
+            (-round_score(idf(st[t][0], self.n_docs) * tf[t]), t)
+            for t in tf
+            if st[t][0] > 0
+        )[:n_terms]
+        if not ranked:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search(" ".join(t for _, t in ranked), k=k)
+
     # ------------------------------------------------------------------ #
     # boolean set algebra (results.c merge semantics as joins)            #
     # ------------------------------------------------------------------ #

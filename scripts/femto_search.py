@@ -35,9 +35,18 @@ def main() -> int:
         help="evaluate --query as a FEMTO-grammar boolean expression"
         " (AND/OR/NOT, THEN d, WITHIN d, parens, quoted phrases)",
     )
+    ap.add_argument(
+        "--similar",
+        type=int,
+        default=None,
+        metavar="DOC_ID",
+        help="more-like-this: BM25 over DOC_ID's top tf*idf terms"
+        " (femto_similar analogue; needs --corpus)",
+    )
+    ap.add_argument("--similar-terms", type=int, default=5)
     args = ap.parse_args()
-    if not args.query and not args.queries_file:
-        ap.error("need --query or --queries-file")
+    if not args.query and not args.queries_file and args.similar is None:
+        ap.error("need --query, --queries-file, or --similar")
 
     from pyspark.sql import SparkSession
 
@@ -55,6 +64,17 @@ def main() -> int:
     )
     corpus = spark.read.parquet(args.corpus) if args.corpus else None
     eng = SearchEngine(spark, args.index, corpus=corpus)
+
+    if args.similar is not None:
+        rows = eng.similar(
+            args.similar, n_terms=args.similar_terms, k=args.k
+        ).collect()
+        print(json.dumps({
+            "similar_to": args.similar,
+            "hits": [[r["doc_id"], r["score"]] for r in rows],
+        }))
+        spark.stop()
+        return 0
 
     if args.grammar:
         docs = [r["doc_id"] for r in eng.query(args.query).collect()]

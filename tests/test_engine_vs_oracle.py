@@ -50,6 +50,17 @@ def test_search_miss(engine, oracle_sf001, q):
     assert oracle_sf001.search(q, k=10) == []
 
 
+@pytest.mark.parametrize("doc_id,n_terms", [(3, 5), (0, 3), (42, 8)])
+def test_similar_rank_identical(engine, oracle_sf001, doc_id, n_terms):
+    """More-like-this: identical term selection AND identical BM25 ranks."""
+    want = oracle_sf001.similar(doc_id, n_terms=n_terms, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.similar(doc_id, n_terms=n_terms, k=10).collect()
+    ]
+    assert got == want, (doc_id, n_terms)
+
+
 def test_search_and_mode(engine, oracle_sf001):
     q = "the data table"
     want = oracle_sf001.search(q, k=10, mode="and")
