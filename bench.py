@@ -398,7 +398,10 @@ map-side encode, which is exactly the resource this box runs out of.
   shipped engine at 5M: build **0.83** (best-of, 4N raw spread
   313-423 s shows the host time-sharing).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.environ.get(
+        "FEMTO_SCALE_OUT", os.path.join(REPO, "BENCH", "BASELINE.md")
+    )
+    with open(out_path, "w") as f:
         f.write(md)
     print(md)
 

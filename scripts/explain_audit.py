@@ -292,6 +292,43 @@ def main() -> int:
         ],
     )
 
+    # 11. catalog-mode read path: the DSv2 writeTo layout keeps partition
+    # pruning — a term lookup's scan carries a partition filter on
+    # `bucket` (the same pruning an Iceberg partition transform applies
+    # to this layout; asserting it needs no Iceberg jar)
+    cat_prefix = "femto_audit_cat"
+    for sfx in ("index", "docs", "vocab", "termstats", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {cat_prefix}_{sfx}")
+    import glob as _glob
+    import shutil as _shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for d in _glob.glob(os.path.join(wh, f"{cat_prefix}_*")):
+        _shutil.rmtree(d, ignore_errors=True)
+    cat_ix = os.path.join(REPO, ".scratch", "audit_cat_ix")
+    _shutil.rmtree(cat_ix, ignore_errors=True)
+    build_index(
+        spark, corpus.limit(200), cat_ix, n_buckets=8,
+        catalog_table=cat_prefix,
+    )
+    cat_eng = SearchEngine(spark, cat_ix)
+    check(
+        "catalog-mode term lookup — partition-pruned catalog scan",
+        cat_eng._term_rows(["data"]),
+        [
+            (
+                "bucket partition filter on the catalog table scan",
+                lambda p: "PartitionFilters" in p
+                and "bucket" in p.split("PartitionFilters")[1][:300],
+            ),
+            (
+                "term_hash pushed to the file source",
+                lambda p: "PushedFilters" in p
+                and "term_hash" in p.split("PushedFilters")[1][:300],
+            ),
+        ],
+    )
+
     # write report
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)

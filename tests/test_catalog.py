@@ -74,6 +74,29 @@ def test_catalog_query_matches_oracle(spark, cat_index, cat_docs):
     assert got_rx == sorted(oracle.regex_docs("dat."))
 
 
+def test_catalog_partition_pruning(spark, cat_index):
+    """The catalog read path keeps partition pruning: a term lookup's
+    scan over the catalog-managed index table carries a partition filter
+    on `bucket` (the pruning an Iceberg partition transform applies to
+    this same writeTo layout — the assertion needs no Iceberg jar) and
+    pushes term_hash to the file source."""
+    import contextlib
+    import io
+
+    from femto_spark.query import SearchEngine
+
+    eng = SearchEngine(spark, cat_index)
+    df = eng._term_rows(["data"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p, p
+    assert "bucket" in p.split("PartitionFilters")[1][:300], p
+    assert "PushedFilters" in p, p
+    assert "term_hash" in p.split("PushedFilters")[1][:300], p
+
+
 def test_catalog_append_equals_union(spark, cat_index, cat_docs):
     from femto_spark.index.incremental import merge_into
     from femto_spark.oracle import OracleIndex
