@@ -914,19 +914,28 @@ class SearchEngine:
         for); this variant serves the common "first k hits" ask without
         paying for the tail:
 
-          1. the boolean doc INTERSECTION is computed on the cheap
-             postings-only plane (no positions touched) and checkpointed;
-          2. a doc-order candidate PREFIX (growing ×4 per round from
-             max(4k, 64)) feeds the anchor verification as its
-             doc_filter, so the expensive positions decode + anchor
-             groupBy only ever sees the prefix;
-          3. rounds stop as soon as k docs verify (or candidates run
+          1. the RAREST term's capped doc list is the candidate filter —
+             every phrase match must contain it, and one doc-plane scan
+             replaces the k-way semi-join intersection (whose extra
+             scans cost more per round than the decode they saved:
+             _phrase_hits re-reads every term's positions anyway, and
+             the anchor groupBy's ns == len(terms) already enforces
+             co-occurrence);
+          2. a doc-order candidate PREFIX (growing from max(4k, 64))
+             feeds the anchor verification as its doc_filter, so the
+             expensive positions decode + anchor groupBy only ever sees
+             the prefix;
+          3. verified hits are SHARED ACROSS ROUNDS: round r+1 verifies
+             only candidates in (D_r, D_{r+1}] and unions the
+             checkpointed round-r hits — docs never re-verify, so the
+             multi-round path pays each positions decode once;
+          4. rounds stop as soon as k docs verify (or candidates run
              out — then the result simply has fewer rows).
 
         Every term co-occurring is necessary for a phrase match, so round
         1 usually verifies >> k docs; a pathological corpus where terms
-        co-occur but never adjoin degrades to ~2.7× the full plan
-        (geometric-sum bound), never worse asymptotically. Identical rows
+        co-occur but never adjoin now degrades to the full plan plus one
+        round of job latency (hits are never recomputed). Identical rows
         to `phrase(query) ORDER BY doc_id LIMIT k` (the driver oracle).
         Analogue of the reference's RANGE_TO_RESULTS chunked resolve —
         resolve only as many chunks as the request needs
@@ -947,29 +956,26 @@ class SearchEngine:
         # target so tests can force the multi-round path.
         target = prefix0 if prefix0 else max(4 * k, 64)
         D = min(max_doc, -(-target * (max_doc + 1) // max(min_df, 1)))
-        by_df = sorted(uniq, key=lambda t: stats[t][0])
+        rare = min(uniq, key=lambda t: stats[t][0])
+        prev_hi = -1  # docs ≤ prev_hi are already verified (in acc)
+        acc = None  # checkpointed verified hits from earlier rounds
         while True:
-            # postings-only intersection UNDER THE CAP: grp partitions
-            # past D are pruned at the scan, block prefixes past D are
-            # never varint-decoded — the tail of a hot term's posting
-            # list costs nothing
-            inter = self.postings(
-                [by_df[0]], scored=False, doc_hi=D
+            # rarest term's capped doc list: grp partitions past D are
+            # pruned at the scan, block prefixes past D never
+            # varint-decode — the tail of a posting list costs nothing
+            cand = self.postings(
+                [rare], scored=False, doc_hi=D
             ).select("doc_id")
-            for t in by_df[1:]:
-                inter = inter.join(
-                    self.postings([t], scored=False, doc_hi=D).select(
-                        "doc_id"
-                    ),
-                    "doc_id",
-                    "semi",
-                )
-            hits = self._phrase_hits(
-                terms, uniq, inter, doc_hi=D
-            ).localCheckpoint(eager=True)
+            if prev_hi >= 0:
+                cand = cand.filter(F.col("doc_id") > prev_hi)
+            hits = self._phrase_hits(terms, uniq, cand, doc_hi=D)
+            if acc is not None:
+                hits = acc.union(hits)
+            hits = hits.localCheckpoint(eager=True)
             n_hits = hits.count()
             if n_hits >= k or D >= max_doc:
                 return hits.orderBy("doc_id").limit(k)
+            acc, prev_hi = hits, D
             # adaptive growth: every round costs ~fixed job latency, so
             # extrapolate from the observed hit density instead of a blind
             # ×4 — and a hitless round means matches are rare enough that
