@@ -271,6 +271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_edge"] = lambda s, d: _engine(s, d).infix_docs(
         ".*erge.fas|data.+"
     )
+    # nested groups: cross-token branch-expansion recurses; in-token
+    # nested groups stay opaque rlike units
+    q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
+        "me(r(ge|ta) fa)st"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -544,6 +549,11 @@ WHERE regexp_matches(s, 'mer.*tab.*fas.*ow') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.*erge.fas|data.+') ORDER BY doc_id"""
+
+    o["fts_regex_infix_nested"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'me(r(ge|ta) fa)st') ORDER BY doc_id"""
 
     o["fts_regex_infix_gap"] = f"""{_BASE}
 SELECT DISTINCT doc_id

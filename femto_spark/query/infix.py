@@ -26,16 +26,18 @@ top-level alternation `A|B`, and groups `(A|B)`:
     is expanded branch-wise into separate patterns union'd together
     (unquantified only — an unbounded cross-token repetition has no
     finite fragment form and falls back to the scan path);
-  * nested groups fall back to the scan path.
+  * NESTED groups are supported: an in-token nested group stays inside
+    its opaque regex unit (rlike evaluates it natively); a cross-token
+    one branch-expands recursively, innermost groups resolving on the
+    re-entry into expand().
 
 Unbounded dot gaps (`.*`/`.+`) are index-answered too: EDGE gaps
 rewrite away per branch (streamline(), the reference's
 query_planning.c fix_initial/fix_final analogue) and INTERIOR gap
 chains `P0.*P1.*…Pk` up to _MAX_GAPS gaps evaluate as 2^k
 token-merge masks decided by greedy positional chains (detect_gaps /
-_gapk_docs). Remaining scan-fallback residue: nested groups,
-quantified cross-token groups, and `.+`-edge guard dots combined
-with an interior gap chain.
+_gapk_docs). Remaining scan-fallback residue: quantified cross-token
+groups and `.+`-edge guard dots combined with an interior gap chain.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -101,6 +103,24 @@ import re as _re
 _DOT_QUANT = _re.compile(r"\.(\?|\{(\d+)(?:,(\d+))?\})")
 
 
+def _match_paren(pattern: str, i: int) -> int:
+    """Index of the ')' balancing the '(' at i (class-aware), or -1."""
+    depth, in_class = 0, False
+    for j in range(i, len(pattern)):
+        c = pattern[j]
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        elif c == "(" and not in_class:
+            depth += 1
+        elif c == ")" and not in_class:
+            depth -= 1
+            if depth == 0:
+                return j
+    return -1
+
+
 def _rewrite_dot_quants(pattern: str) -> str:
     """BOUNDED dot quantifiers are finite and expand to dot-run
     alternation before group expansion: `.{m,n}` → `(.|..|…)` (a
@@ -153,18 +173,22 @@ def expand(pattern: str) -> list[str]:
     i = pattern.find("(")
     if i < 0:
         return [pattern]
-    j = pattern.find(")", i + 1)
-    if j < 0 or "(" in pattern[i + 1 : j]:
-        raise ValueError(f"unbalanced or nested group in {pattern!r}")
+    j = _match_paren(pattern, i)
+    if j < 0:
+        raise ValueError(f"unbalanced group in {pattern!r}")
     body = pattern[i + 1 : j]
     if not body:
         raise ValueError(f"empty group in {pattern!r}")
     if " " not in body and "." not in body:
-        # in-token group: leave it for _units(), expand only the tail
+        # in-token group (nested parens included — the whole body is
+        # space/dot-free, so it stays ONE opaque regex unit for _units):
+        # expand only the tail
         return [
             pattern[: j + 1] + rest for rest in expand(pattern[j + 1 :])
         ] if j + 1 < len(pattern) else [pattern]
-    # cross-token group: branch-expand (unquantified; '?' = empty branch)
+    # cross-token group: branch-expand (unquantified; '?' = empty
+    # branch). Nested groups inside a branch are handled by the
+    # recursion — the substituted pattern re-enters expand()
     quant = pattern[j + 1] if j + 1 < len(pattern) else ""
     branches = [b for b in _split_alternation(body)]
     if any(not b for b in branches):
@@ -205,15 +229,15 @@ def _units(pattern: str) -> list[tuple[str, str]]:
             units.append(("dot", "."))
             i += 1
         elif c == "(":
-            j = pattern.find(")", i + 1)
+            j = _match_paren(pattern, i)
             body = pattern[i + 1 : j] if j >= 0 else ""
-            if j < 0 or not body or "(" in body:
+            if j < 0 or not body:
                 raise ValueError(f"unsupported group in {pattern!r}")
             for b in _split_alternation(body):
                 if not b:
                     raise ValueError(f"empty branch in {pattern!r}")
-                sub = _units(b)  # validates the branch's own subset
-                if any(k in ("space", "dot", "group") for k, _ in sub):
+                sub = _units(b)  # recursive: nested in-token groups OK
+                if any(k in ("space", "dot") for k, _ in sub):
                     raise ValueError(
                         f"cross-token group must be pre-expanded: {pattern!r}"
                     )

@@ -120,6 +120,11 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         ".*able", "merge.*", ".+able", "able.+", ".*erge.fas",
         ".{2,}able", "able.{3,}", ".*mer.*ast", ".*a.+b.*",
         ".*able.*", ".+merge.+", ".+erge.fas", "data.+",
+        # nested groups: in-token stay opaque rlike units; cross-token
+        # branch-expand recursively
+        "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
+        "(s(c|l)an (fa|slo)st)", "me(r(ge|ta) fa)st", "((able|data) ta.le)",
+        "t(a(b|c)le|x) sc",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -199,8 +204,9 @@ def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
     for bad in [
-        "x* y", "[a b]",                          # empty-matching / bad class
-        "(a(b|c))d", "(a b)+", "(x.y)*", "a||b",  # nested / quantified cross-token
+        "x* y", "[a b]",                 # empty-matching / bad class
+        "(a b)+", "(x.y)*", "a||b",      # quantified cross-token groups
+        "((b|c)?)d",                     # group branch can match empty
         ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
     ]:
         with _pt.raises(ValueError):

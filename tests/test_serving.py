@@ -137,6 +137,8 @@ def test_infix_matches_engine(searcher, engine):
         # k-gap chains and streamlined edge gaps
         "m.*a.*t.*s", "a.+b.*c.+d", "t.*a.+b.*l.+e",
         ".*able", "merge.*", ".+able", "able.+", ".{2,}able",
+        # nested groups
+        "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
