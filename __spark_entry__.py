@@ -201,6 +201,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_binary_meta"] = _mm
 
+    # real audio decode: deterministic WAV synth → stdlib-wave decode;
+    # the integer columns round-trip the encoded stream exactly, so the
+    # oracle restates them in closed form from doc_id
+    def _audio(s, d):
+        from femto_spark.ops.multimodal import (
+            audio_features,
+            synth_audio_corpus,
+        )
+
+        return audio_features(synth_audio_corpus(_docs(s, d))).select(
+            "doc_id", "sample_rate", "n_samples", "duration_ms"
+        )
+
+    q["multimodal_audio_decode"] = _audio
+
     # ---- FTS query plane ----
     q["fts_count_terms"] = lambda s, d: _engine(s, d).count(" ".join(_PROBE_TERMS))
     # same probes through a forced-collision (re-keyed) index — the
@@ -793,6 +808,15 @@ WHERE floor((list_inner_product(a.vv, b.vv)
     o["multimodal_binary_meta"] = (
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes,"
         " sha256(text) AS sha256 FROM documents"
+    )
+
+    # audio decode round-trip: synth_wav writes 800 + (doc_id % 5) * 160
+    # 16-bit mono samples at 8 kHz; the decode must recover exactly that
+    o["multimodal_audio_decode"] = (
+        "SELECT doc_id, 8000 AS sample_rate,"
+        " 800 + (doc_id % 5) * 160 AS n_samples,"
+        " (800 + (doc_id % 5) * 160) * 1000 // 8000 AS duration_ms"
+        " FROM documents"
     )
 
     return o

@@ -23,9 +23,11 @@ top-level alternation `A|B`, and groups `(A|B)`:
     (`/root/reference/src/main/nfa.c:418`, test.pl:343-364) evaluate as
     one vocab rlike, no expansion blow-up;
   * a group whose body crosses token boundaries (contains ' ' or '.')
-    is expanded branch-wise into separate patterns union'd together
-    (unquantified only — an unbounded cross-token repetition has no
-    finite fragment form and falls back to the scan path);
+    is expanded branch-wise into separate patterns union'd together;
+    a BOUNDED repetition `(X){m,n}` expands to textual repeats (regex
+    concatenation semantics). Only an UNBOUNDED cross-token repetition
+    (`*`, `+`, `{m,}`) has no finite fragment form and falls back to
+    the scan path;
   * NESTED groups are supported: an in-token nested group stays inside
     its opaque regex unit (rlike evaluates it natively); a cross-token
     one branch-expands recursively, innermost groups resolving on the
@@ -186,16 +188,39 @@ def expand(pattern: str) -> list[str]:
         return [
             pattern[: j + 1] + rest for rest in expand(pattern[j + 1 :])
         ] if j + 1 < len(pattern) else [pattern]
-    # cross-token group: branch-expand (unquantified; '?' = empty
-    # branch). Nested groups inside a branch are handled by the
-    # recursion — the substituted pattern re-enters expand()
+    # cross-token group: branch-expand ('?' = empty branch; a BOUNDED
+    # repetition {m} / {m,n} expands to textual repeats — regex
+    # semantics concatenate the body, so `(a b){2}` ≡ `a ba b` — and
+    # each repeat re-enters expand() to resolve its own branches).
+    # Nested groups inside a branch are handled by the recursion too.
+    # Only genuinely UNBOUNDED cross-token repetition (*, +, {m,})
+    # has no finite fragment form and stays on the scan path.
     quant = pattern[j + 1] if j + 1 < len(pattern) else ""
     branches = [b for b in _split_alternation(body)]
     if any(not b for b in branches):
         raise ValueError(f"empty branch in group: {pattern!r}")
-    if quant in ("+", "*", "{"):
+    if quant == "{":
+        jq = pattern.find("}", j + 1)
+        spec = pattern[j + 2 : jq] if jq > 0 else ""
+        mq = _re.fullmatch(r"(\d+)(?:,(\d+))?", spec)
+        if jq < 0 or not mq:
+            raise ValueError(f"unsupported quantifier: {pattern!r}")
+        lo_r = int(mq.group(1))
+        hi_r = int(mq.group(2)) if mq.group(2) else lo_r
+        if hi_r < lo_r or hi_r > 4:
+            raise ValueError(
+                f"cross-token group repetition too wide: {pattern!r}"
+            )
+        grp = pattern[i : j + 1]
+        out = []
+        for reps in range(lo_r, hi_r + 1):
+            out.extend(expand(pattern[:i] + grp * reps + pattern[jq + 1 :]))
+        if len(out) > _MAX_EXPANSIONS:
+            raise ValueError(f"group expands too wide: {pattern!r}")
+        return out
+    if quant in ("+", "*"):
         raise ValueError(
-            f"quantified cross-token group unsupported: {pattern!r}"
+            f"unbounded cross-token repetition unsupported: {pattern!r}"
         )
     k = j + 1
     if quant == "?":

@@ -240,6 +240,40 @@ def test_multimodal_plumbing(spark):
     assert (1, 0) in plan and (1, 3000) in plan and (1, 4000) not in plan
 
 
+def test_multimodal_audio_real_decode(spark):
+    """The audio path is a REAL decode (stdlib wave, PCM WAV): the
+    integer columns round-trip the synthesized stream exactly and the
+    float features match the analytic values of the synthesized sine."""
+    import math
+
+    from femto_spark.ops.multimodal import (
+        audio_features,
+        decode_wav,
+        synth_audio_corpus,
+        synth_wav,
+    )
+
+    # driver-side decode sanity: exact sample count + near-analytic rms
+    sr, x = decode_wav(synth_wav(3))
+    assert sr == 8000 and x.size == 800 + (3 % 5) * 160
+    assert abs(float((x ** 2).mean()) ** 0.5 - 12000 / 32768 / math.sqrt(2)) < 0.01
+    # distributed: synth → decode round-trips every row
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], r["duration_ms"],
+                      r["rms"], r["n_zero_crossings"])
+        for r in audio_features(synth_audio_corpus(ids)).collect()
+    }
+    for i in range(20):
+        n = 800 + (i % 5) * 160
+        sr_i, ns, dur, rms, zc = got[i]
+        assert (sr_i, ns, dur) == (8000, n, n * 1000 // 8000), i
+        assert abs(rms - 12000 / 32768 / math.sqrt(2)) < 0.01, i
+        freq = 110.0 + (i % 7) * 55.0
+        expect_zc = 2 * freq * n / 8000  # two crossings per period
+        assert abs(zc - expect_zc) <= 2, (i, zc, expect_zc)
+
+
 def test_shingles_short_docs_no_crash(spark):
     """Docs with fewer than n tokens have no n-grams (ADVICE r01: the
     unguarded sequence(0, -1) form threw INVALID_PARAMETER_VALUE.START)."""

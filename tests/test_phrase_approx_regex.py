@@ -125,6 +125,9 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
         "(s(c|l)an (fa|slo)st)", "me(r(ge|ta) fa)st", "((able|data) ta.le)",
         "t(a(b|c)le|x) sc",
+        # bounded cross-token group repetition (textual repeats)
+        "(a b){2}", "(b|c a){1,2}", "x(y z){0,1}", "(ta |da ){1,2}ble",
+        "(the ){2}", "(a ){2,3}b",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -205,7 +208,8 @@ def test_infix_rejects_unsupported(engine):
 
     for bad in [
         "x* y", "[a b]",                 # empty-matching / bad class
-        "(a b)+", "(x.y)*", "a||b",      # quantified cross-token groups
+        "(a b)+", "(x.y)*", "a||b",      # UNBOUNDED cross-token repetition
+        "(a b){2,}", "(a b){0,9}",       # unbounded / too-wide repetition
         "((b|c)?)d",                     # group branch can match empty
         ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
     ]:
