@@ -291,6 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
         "me(r(ge|ta) fa)st"
     )
+    # EDGE-unbounded group repetition (query/infix._fix_edge_groups):
+    # `(X)+R`≡`(X)R` / `R(X)+`≡`RX` for unanchored docs-plane search
+    q["fts_regex_infix_edgegrp"] = lambda s, d: _engine(s, d).infix_docs(
+        "(data |able )+fas|merge( fa)+"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -574,6 +579,11 @@ WHERE regexp_matches(s, 'me(r(ge|ta) fa)st') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'erge.*fas') ORDER BY doc_id"""
+
+    o["fts_regex_infix_edgegrp"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, '(data |able )+fas|merge( fa)+') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),

@@ -25,9 +25,12 @@ top-level alternation `A|B`, and groups `(A|B)`:
   * a group whose body crosses token boundaries (contains ' ' or '.')
     is expanded branch-wise into separate patterns union'd together;
     a BOUNDED repetition `(X){m,n}` expands to textual repeats (regex
-    concatenation semantics). Only an UNBOUNDED cross-token repetition
-    (`*`, `+`, `{m,}`) has no finite fragment form and falls back to
-    the scan path;
+    concatenation semantics); an UNBOUNDED repetition (`*`, `+`,
+    `{m,}`) at a pattern EDGE rewrites away (_fix_edge_groups — both
+    planes report doc ids, so unanchored search keeps only the
+    edge-side repetition: `(X)+R` ≡ `(X)R`, `(X)*R` ≡ `R`). Only an
+    INTERIOR unbounded cross-token repetition has no finite fragment
+    form and falls back to the scan path;
   * NESTED groups are supported: an in-token nested group stays inside
     its opaque regex unit (rlike evaluates it natively); a cross-token
     one branch-expands recursively, innermost groups resolving on the
@@ -38,8 +41,9 @@ rewrite away per branch (streamline(), the reference's
 query_planning.c fix_initial/fix_final analogue) and INTERIOR gap
 chains `P0.*P1.*…Pk` up to _MAX_GAPS gaps evaluate as 2^k
 token-merge masks decided by greedy positional chains (detect_gaps /
-_gapk_docs). Remaining scan-fallback residue: quantified cross-token
-groups and `.+`-edge guard dots combined with an interior gap chain.
+_gapk_docs). Remaining scan-fallback residue: INTERIOR unbounded
+cross-token group repetition (`A(X)+B`) and `.+`-edge guard dots
+combined with an interior gap chain.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -152,14 +156,97 @@ def _rewrite_dot_quants(pattern: str) -> str:
     return _DOT_QUANT.sub(_sub, pattern)
 
 
-def expand(pattern: str) -> list[str]:
+def _rmatch_paren(pattern: str, j: int) -> int:
+    """Index of the '(' balancing the ')' at j (scanning left), or -1."""
+    depth = 0
+    for i in range(j, -1, -1):
+        c = pattern[i]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+_HEAD_GRP_QUANT = _re.compile(r"([*+])|\{(\d+),\}")
+_TAIL_GRP_QUANT = _re.compile(r"\)\{(\d+),\}$")
+
+
+def _fix_edge_groups(pattern: str, head: bool, tail: bool) -> str:
+    """streamline_query applied to GROUP repetition — the reference's
+    fix_initial/fix_final (`query_planning.c:24-218`) analogue for an
+    unbounded cross-token group at an UNANCHORED pattern edge. Both
+    infix planes report doc ids only, and a search match with k repeats
+    always contains a match keeping only the edge-side repetition(s):
+
+      head: `(X)*R` ≡ `R`    `(X)+R` ≡ `(X)R`    `(X){m,}R` ≡ `(X){m}R`
+      tail: `R(X)*` ≡ `R`    `R(X)+` ≡ `(X)` kept once, symmetric
+
+    so the rewrite turns "unbounded cross-token repetition unsupported"
+    into the already-index-answered unquantified/bounded forms. Only
+    cross-token bodies rewrite (in-token quantified groups are native
+    opaque units); interior unbounded repetition has no finite form and
+    still raises. `head`/`tail` track whether this subpattern retains
+    the full pattern's unanchored edge through expand()'s recursion."""
+    while head and pattern.startswith("("):
+        j = _match_paren(pattern, 0)
+        if j < 0 or j + 1 >= len(pattern):
+            break
+        body = pattern[1 : j]
+        if " " not in body and "." not in body:
+            break
+        m = _HEAD_GRP_QUANT.match(pattern, j + 1)
+        if m is None:
+            break
+        if m.group(1) == "*":
+            pattern = pattern[m.end() :]
+            continue  # the new head may be another edge group
+        if m.group(1) == "+":
+            pattern = pattern[: j + 1] + pattern[m.end() :]
+        else:  # {m,}
+            pattern = (
+                pattern[: j + 1]
+                + "{%d}" % int(m.group(2))
+                + pattern[m.end() :]
+            )
+        break  # group survives unquantified/bounded: head is settled
+    while tail:
+        if pattern.endswith(")*") or pattern.endswith(")+"):
+            i0, q = _rmatch_paren(pattern, len(pattern) - 2), pattern[-1]
+            cut = len(pattern) - 2
+        else:
+            mt = _TAIL_GRP_QUANT.search(pattern)
+            if mt is None:
+                break
+            i0, q = _rmatch_paren(pattern, mt.start()), "{"
+            cut = mt.start()
+        if i0 < 0:
+            break
+        body = pattern[i0 + 1 : cut]
+        if " " not in body and "." not in body:
+            break
+        if q == "*":
+            pattern = pattern[:i0]
+            continue
+        if q == "+":
+            pattern = pattern[:-1]
+        else:  # {m,}
+            pattern = pattern[: cut + 1] + "{%d}" % int(mt.group(1))
+        break
+    return pattern
+
+
+def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
     """Expand top-level alternation and CROSS-TOKEN groups (body contains
     ' ' or '.') into a list of patterns whose only remaining groups are
     in-token — those stay opaque regex units for _units(). Unquantified
-    cross-token groups only ('?' adds the empty branch); bounded dot
-    quantifiers are rewritten to dot-run alternation first
-    (_rewrite_dot_quants); nested groups and quantified cross-token
-    groups raise ValueError (scan fallback)."""
+    cross-token groups ('?' adds the empty branch) and bounded
+    repetitions expand; EDGE-unbounded repetitions rewrite away
+    (_fix_edge_groups); bounded dot quantifiers are rewritten to dot-run
+    alternation first (_rewrite_dot_quants); INTERIOR unbounded
+    cross-token repetition raises ValueError (scan fallback)."""
     pattern = _rewrite_dot_quants(pattern)
     tops = _split_alternation(pattern)
     if len(tops) > 1:
@@ -167,10 +254,12 @@ def expand(pattern: str) -> list[str]:
         for t in tops:
             if not t:
                 raise ValueError(f"empty alternation branch: {pattern!r}")
-            out.extend(expand(t))
+            out.extend(expand(t, head=head, tail=tail))
         if len(out) > _MAX_EXPANSIONS:
             raise ValueError(f"alternation expands too wide: {pattern!r}")
         return out
+    if head or tail:
+        pattern = _fix_edge_groups(pattern, head, tail)
 
     i = pattern.find("(")
     if i < 0:
@@ -185,8 +274,10 @@ def expand(pattern: str) -> list[str]:
         # in-token group (nested parens included — the whole body is
         # space/dot-free, so it stays ONE opaque regex unit for _units):
         # expand only the tail
+        # the tail keeps the full pattern's TAIL edge but not its head
         return [
-            pattern[: j + 1] + rest for rest in expand(pattern[j + 1 :])
+            pattern[: j + 1] + rest
+            for rest in expand(pattern[j + 1 :], head=False, tail=tail)
         ] if j + 1 < len(pattern) else [pattern]
     # cross-token group: branch-expand ('?' = empty branch; a BOUNDED
     # repetition {m} / {m,n} expands to textual repeats — regex
@@ -214,13 +305,21 @@ def expand(pattern: str) -> list[str]:
         grp = pattern[i : j + 1]
         out = []
         for reps in range(lo_r, hi_r + 1):
-            out.extend(expand(pattern[:i] + grp * reps + pattern[jq + 1 :]))
+            out.extend(
+                expand(
+                    pattern[:i] + grp * reps + pattern[jq + 1 :],
+                    head=head,
+                    tail=tail,
+                )
+            )
         if len(out) > _MAX_EXPANSIONS:
             raise ValueError(f"group expands too wide: {pattern!r}")
         return out
     if quant in ("+", "*"):
+        # edge-positioned ones were rewritten by _fix_edge_groups; what
+        # reaches here is genuinely INTERIOR unbounded repetition
         raise ValueError(
-            f"unbounded cross-token repetition unsupported: {pattern!r}"
+            f"interior unbounded cross-token repetition unsupported: {pattern!r}"
         )
     k = j + 1
     if quant == "?":
@@ -228,7 +327,7 @@ def expand(pattern: str) -> list[str]:
         k = j + 2
     out = []
     for b in branches:
-        out.extend(expand(pattern[:i] + b + pattern[k:]))
+        out.extend(expand(pattern[:i] + b + pattern[k:], head=head, tail=tail))
     if len(out) > _MAX_EXPANSIONS:
         raise ValueError(f"group expands too wide: {pattern!r}")
     return out

@@ -128,6 +128,10 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # bounded cross-token group repetition (textual repeats)
         "(a b){2}", "(b|c a){1,2}", "x(y z){0,1}", "(ta |da ){1,2}ble",
         "(the ){2}", "(a ){2,3}b",
+        # EDGE-unbounded group repetition (rewrites away: both planes
+        # report docs only, so unanchored search keeps the edge rep)
+        "(a b)+", "(the )+fa", "(a |the ){1,}of", "ta(b le)*",
+        "(da|ta) (ba se)+", "(a b)?(s t)+", "(x y)*",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -208,8 +212,8 @@ def test_infix_rejects_unsupported(engine):
 
     for bad in [
         "x* y", "[a b]",                 # empty-matching / bad class
-        "(a b)+", "(x.y)*", "a||b",      # UNBOUNDED cross-token repetition
-        "(a b){2,}", "(a b){0,9}",       # unbounded / too-wide repetition
+        "c(a b)+d", "c(x.y)*d", "a||b",  # INTERIOR unbounded repetition
+        "a(x ){1,}b", "(a b){0,9}",      # interior unbounded / too wide
         "((b|c)?)d",                     # group branch can match empty
         ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
     ]:

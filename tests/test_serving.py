@@ -139,6 +139,8 @@ def test_infix_matches_engine(searcher, engine):
         ".*able", "merge.*", ".+able", "able.+", ".{2,}able",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
+        # edge-unbounded group repetition (rewritten away)
+        "(the )+fa", "ta(b le)*", "(a b)+",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
