@@ -296,6 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_edgegrp"] = lambda s, d: _engine(s, d).infix_docs(
         "(data |able )+fas|merge( fa)+"
     )
+    # INTERIOR unbounded group repetition: corpus-probed finite-ization
+    # (query/infix._make_rep_probe — monotone X^k emptiness bounds k)
+    q["fts_regex_infix_repgrp"] = lambda s, d: _engine(s, d).infix_docs(
+        "me(rge fa)+st|dat(a )+table"
+    )
     q["fts_bool_and_offsets"] = lambda s, d: _engine(s, d).boolean_offsets(
         "and", "data", "table"
     ).withColumnRenamed("offset", "off")
@@ -584,6 +589,11 @@ WHERE regexp_matches(s, 'erge.*fas') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '(data |able )+fas|merge( fa)+') ORDER BY doc_id"""
+
+    o["fts_regex_infix_repgrp"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'me(rge fa)+st|dat(a )+table') ORDER BY doc_id"""
 
     o["fts_bool_and_offsets"] = f"""{_BASE},
 l AS (SELECT doc_id, pos FROM tokpos WHERE term = 'data'),

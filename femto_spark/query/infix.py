@@ -28,9 +28,13 @@ top-level alternation `A|B`, and groups `(A|B)`:
     concatenation semantics); an UNBOUNDED repetition (`*`, `+`,
     `{m,}`) at a pattern EDGE rewrites away (_fix_edge_groups — both
     planes report doc ids, so unanchored search keeps only the
-    edge-side repetition: `(X)+R` ≡ `(X)R`, `(X)*R` ≡ `R`). Only an
-    INTERIOR unbounded cross-token repetition has no finite fragment
-    form and falls back to the scan path;
+    edge-side repetition: `(X)+R` ≡ `(X)R`, `(X)*R` ≡ `R`); an
+    INTERIOR unbounded repetition `A(X)+B` finite-izes through a DATA
+    probe (_make_rep_probe): index-answered emptiness of X^k is
+    monotone in k (a stream containing X^{k+1} contains X^k), so the
+    corpus itself bounds the repeat count and the quantifier expands
+    to the exact branch set `(X){lo}…(X){kmax}` — > _REP_CAP corpus
+    repeats or branch blow-up past _MAX_EXPANSIONS → scan fallback;
   * NESTED groups are supported: an in-token nested group stays inside
     its opaque regex unit (rlike evaluates it natively); a cross-token
     one branch-expands recursively, innermost groups resolving on the
@@ -41,9 +45,9 @@ rewrite away per branch (streamline(), the reference's
 query_planning.c fix_initial/fix_final analogue) and INTERIOR gap
 chains `P0.*P1.*…Pk` up to _MAX_GAPS gaps evaluate as 2^k
 token-merge masks decided by greedy positional chains (detect_gaps /
-_gapk_docs). Remaining scan-fallback residue: INTERIOR unbounded
-cross-token group repetition (`A(X)+B`) and `.+`-edge guard dots
-combined with an interior gap chain.
+_gapk_docs). Remaining scan-fallback residue: `.+`-edge guard dots
+combined with an interior gap chain, plus the data-dependent interior-
+repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -238,15 +242,30 @@ def _fix_edge_groups(pattern: str, head: bool, tail: bool) -> str:
     return pattern
 
 
-def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
+def expand(
+    pattern: str,
+    *,
+    head: bool = True,
+    tail: bool = True,
+    rep_kmax=None,
+) -> list[str]:
     """Expand top-level alternation and CROSS-TOKEN groups (body contains
     ' ' or '.') into a list of patterns whose only remaining groups are
     in-token — those stay opaque regex units for _units(). Unquantified
     cross-token groups ('?' adds the empty branch) and bounded
     repetitions expand; EDGE-unbounded repetitions rewrite away
     (_fix_edge_groups); bounded dot quantifiers are rewritten to dot-run
-    alternation first (_rewrite_dot_quants); INTERIOR unbounded
-    cross-token repetition raises ValueError (scan fallback)."""
+    alternation first (_rewrite_dot_quants).
+
+    INTERIOR unbounded cross-token repetition (`A(X)+B` / `(X)*` /
+    `(X){m,}` away from every unanchored edge) is finite-ized through
+    `rep_kmax(body, lo) -> int`, a DATA probe: the largest k for which
+    any document's stream still contains k consecutive textual repeats
+    of `body` (monotone — a stream containing X^{k+1} contains X^k — so
+    an emptiness probe per k terminates). With the probe the quantifier
+    expands to the exact finite branch set `(X){lo} … (X){kmax}` for
+    this corpus; without one (rep_kmax=None) it raises ValueError (scan
+    fallback). The probe may itself raise (cap exceeded) → scan."""
     pattern = _rewrite_dot_quants(pattern)
     tops = _split_alternation(pattern)
     if len(tops) > 1:
@@ -254,7 +273,7 @@ def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
         for t in tops:
             if not t:
                 raise ValueError(f"empty alternation branch: {pattern!r}")
-            out.extend(expand(t, head=head, tail=tail))
+            out.extend(expand(t, head=head, tail=tail, rep_kmax=rep_kmax))
         if len(out) > _MAX_EXPANSIONS:
             raise ValueError(f"alternation expands too wide: {pattern!r}")
         return out
@@ -277,7 +296,9 @@ def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
         # the tail keeps the full pattern's TAIL edge but not its head
         return [
             pattern[: j + 1] + rest
-            for rest in expand(pattern[j + 1 :], head=False, tail=tail)
+            for rest in expand(
+                pattern[j + 1 :], head=False, tail=tail, rep_kmax=rep_kmax
+            )
         ] if j + 1 < len(pattern) else [pattern]
     # cross-token group: branch-expand ('?' = empty branch; a BOUNDED
     # repetition {m} / {m,n} expands to textual repeats — regex
@@ -290,9 +311,35 @@ def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
     branches = [b for b in _split_alternation(body)]
     if any(not b for b in branches):
         raise ValueError(f"empty branch in group: {pattern!r}")
+
+    def _rep_expand(lo_r: int, hi_r: int, qend: int) -> list[str]:
+        grp = pattern[i : j + 1]
+        out: list[str] = []
+        for reps in range(lo_r, hi_r + 1):
+            out.extend(
+                expand(
+                    pattern[:i] + grp * reps + pattern[qend:],
+                    head=head,
+                    tail=tail,
+                    rep_kmax=rep_kmax,
+                )
+            )
+        if len(out) > _MAX_EXPANSIONS:
+            raise ValueError(f"group expands too wide: {pattern!r}")
+        return out
+
     if quant == "{":
         jq = pattern.find("}", j + 1)
         spec = pattern[j + 2 : jq] if jq > 0 else ""
+        mu = _re.fullmatch(r"(\d+),", spec)
+        if jq > 0 and mu:  # `(X){m,}` — interior unbounded, probe-bounded
+            if rep_kmax is None:
+                raise ValueError(
+                    "interior unbounded cross-token repetition "
+                    f"unsupported without a probe: {pattern!r}"
+                )
+            lo_r = int(mu.group(1))
+            return _rep_expand(lo_r, rep_kmax(body, lo_r), jq + 1)
         mq = _re.fullmatch(r"(\d+)(?:,(\d+))?", spec)
         if jq < 0 or not mq:
             raise ValueError(f"unsupported quantifier: {pattern!r}")
@@ -302,32 +349,33 @@ def expand(pattern: str, *, head: bool = True, tail: bool = True) -> list[str]:
             raise ValueError(
                 f"cross-token group repetition too wide: {pattern!r}"
             )
-        grp = pattern[i : j + 1]
-        out = []
-        for reps in range(lo_r, hi_r + 1):
-            out.extend(
-                expand(
-                    pattern[:i] + grp * reps + pattern[jq + 1 :],
-                    head=head,
-                    tail=tail,
-                )
-            )
-        if len(out) > _MAX_EXPANSIONS:
-            raise ValueError(f"group expands too wide: {pattern!r}")
-        return out
+        return _rep_expand(lo_r, hi_r, jq + 1)
     if quant in ("+", "*"):
         # edge-positioned ones were rewritten by _fix_edge_groups; what
-        # reaches here is genuinely INTERIOR unbounded repetition
-        raise ValueError(
-            f"interior unbounded cross-token repetition unsupported: {pattern!r}"
-        )
+        # reaches here is genuinely INTERIOR unbounded repetition —
+        # finite-ize it through the data probe (kmax < lo ⇒ the branch
+        # cannot match this corpus and expands to nothing)
+        if rep_kmax is None:
+            raise ValueError(
+                "interior unbounded cross-token repetition "
+                f"unsupported without a probe: {pattern!r}"
+            )
+        lo_r = 1 if quant == "+" else 0
+        return _rep_expand(lo_r, rep_kmax(body, lo_r), j + 2)
     k = j + 1
     if quant == "?":
         branches.append("")
         k = j + 2
     out = []
     for b in branches:
-        out.extend(expand(pattern[:i] + b + pattern[k:], head=head, tail=tail))
+        out.extend(
+            expand(
+                pattern[:i] + b + pattern[k:],
+                head=head,
+                tail=tail,
+                rep_kmax=rep_kmax,
+            )
+        )
     if len(out) > _MAX_EXPANSIONS:
         raise ValueError(f"group expands too wide: {pattern!r}")
     return out
@@ -457,11 +505,15 @@ def pattern_supported(pattern: str) -> bool:
     applies the all-optional-fragment rejection), more through the
     positional DP (same rejection, checked per realizable segment by
     _dp_validate) — there is no wildcard-count rejection on the Spark
-    path anymore, only the structural subset."""
+    path anymore, only the structural subset. Interior unbounded group
+    repetition is structurally accepted (a stub probe stands in for the
+    data probe); at evaluation time the probe can still raise — corpus
+    needs > _REP_CAP repeats, or the probed branch set exceeds
+    _MAX_EXPANSIONS — and those data-dependent cases fall to scan."""
     if not pattern:
         return False
     try:
-        for p in expand(pattern):
+        for p in expand(pattern, rep_kmax=lambda body, lo: max(lo, 1)):
             p = streamline(p)
             if p == "" or detect_gaps(p) is not None:
                 continue
@@ -867,6 +919,41 @@ def _dp_docs(engine, pattern: str, vocab, ngrams) -> DataFrame:
     return out
 
 
+_REP_CAP = 8  # interior-rep probe ascent cap: X^9 still matching → scan
+
+
+def _make_rep_probe(engine, vocab, ngrams):
+    """expand()'s rep_kmax callback for the Spark plane: the largest
+    k ≤ _REP_CAP with ANY doc whose stream contains k consecutive
+    textual repeats of `body`, decided by index-answered emptiness
+    probes of the finite pattern `(body)` × k (each probe is a
+    gram-pruned vocab scan + postings semi-join — never the corpus).
+    Monotone in k, so a linear ascent from max(lo,1) terminates at the
+    first empty k; kmax < lo means no doc can match the quantified
+    branch at all."""
+
+    def rep_kmax(body: str, lo: int) -> int:
+        grp = "(" + body + ")"
+
+        def nonempty(k: int) -> bool:
+            pats = expand(grp * k, rep_kmax=rep_kmax)
+            d = _finite_docs(engine, vocab, ngrams, pats)
+            return d is not None and not d.isEmpty()
+
+        k = max(lo, 1)
+        if not nonempty(k):
+            return k - 1
+        while k < _REP_CAP:
+            if not nonempty(k + 1):
+                return k
+            k += 1
+        raise ValueError(
+            f"group repetition exceeds probe cap ({_REP_CAP}): {body!r}"
+        )
+
+    return rep_kmax
+
+
 def infix_docs(engine, pattern: str) -> DataFrame:
     """Sorted distinct doc_ids whose token stream matches `pattern` —
     answered entirely from the index. See module docstring for the
@@ -877,15 +964,26 @@ def infix_docs(engine, pattern: str) -> DataFrame:
 
     ngrams = ensure_vocab_ngrams(spark, engine.index_dir)
 
-    # alternation/groups expand to patterns; each branch is streamlined
-    # (edge gaps rewritten away); dedup shared fragment-tuples so common
-    # variants across branches evaluate once. Gap chains go to the
-    # positional chain evaluator; many-wildcard branches (> _ENUM_DOTS
-    # dots) skip enumeration for the positional DP — polynomial in dots
-    # instead of 2^dots
+    pats = expand(pattern, rep_kmax=_make_rep_probe(engine, vocab, ngrams))
+    result = _finite_docs(engine, vocab, ngrams, pats)
+    if result is None:
+        return spark.createDataFrame([], "doc_id long")
+    return result.distinct().orderBy("doc_id")
+
+
+def _finite_docs(engine, vocab, ngrams, pats: list[str]) -> DataFrame | None:
+    """Union of doc-id sets for a list of already-expanded FINITE
+    patterns (no cross-token groups, no unbounded group repetition) —
+    the body shared by infix_docs and the interior-rep probes. Returns
+    None for an empty union; neither distinct nor ordered."""
+    # each branch is streamlined (edge gaps rewritten away); dedup
+    # shared fragment-tuples so common variants across branches evaluate
+    # once. Gap chains go to the positional chain evaluator; many-
+    # wildcard branches (> _ENUM_DOTS dots) skip enumeration for the
+    # positional DP — polynomial in dots instead of 2^dots
     all_frags: set[tuple[str, ...]] = set()
     dp_results: list[DataFrame] = []
-    for p in expand(pattern):
+    for p in pats:
         p = streamline(p)
         if p == "":
             # a pure edge-gap branch (`.*`): matches every doc
@@ -959,6 +1057,4 @@ def infix_docs(engine, pattern: str) -> DataFrame:
             d = hits.select("doc_id")
         result = d if result is None else result.union(d)
 
-    if result is None:
-        return spark.createDataFrame([], "doc_id long")
-    return result.distinct().orderBy("doc_id")
+    return result

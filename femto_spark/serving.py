@@ -795,7 +795,38 @@ class LocalSearcher:
         (module docstring there): variant-union / slot-anchor for few
         wildcards, the positional DP (_dp_infix_docs) past _ENUM_DOTS,
         single unbounded gaps via _gap_infix_docs — evaluated in numpy
-        over pyarrow reads."""
+        over pyarrow reads. Interior unbounded group repetition
+        finite-izes through the same emptiness-probe contract as the
+        Spark plane (query/infix._make_rep_probe), probing with this
+        plane's own evaluator."""
+        from .query.infix import _REP_CAP, expand
+
+        def rep_kmax(body: str, lo: int) -> int:
+            grp = "(" + body + ")"
+
+            def nonempty(k: int) -> bool:
+                return bool(
+                    self._finite_infix_docs(expand(grp * k, rep_kmax=rep_kmax))
+                )
+
+            k = max(lo, 1)
+            if not nonempty(k):
+                return k - 1
+            while k < _REP_CAP:
+                if not nonempty(k + 1):
+                    return k
+                k += 1
+            raise ValueError(
+                f"group repetition exceeds probe cap ({_REP_CAP}): {body!r}"
+            )
+
+        return sorted(
+            self._finite_infix_docs(expand(pattern, rep_kmax=rep_kmax))
+        )
+
+    def _finite_infix_docs(self, pats: list[str]) -> set[int]:
+        """Doc-id set for a list of already-expanded finite patterns —
+        the evaluator shared by infix_docs and its interior-rep probes."""
         import re
 
         import pyarrow.dataset as pads
@@ -805,7 +836,6 @@ class LocalSearcher:
             _slot_regexes,
             _units,
             detect_gaps,
-            expand,
             required_run_from_units,
             streamline,
             variants,
@@ -813,7 +843,7 @@ class LocalSearcher:
 
         all_frags: set[tuple[str, ...]] = set()
         dp_result: set[int] = set()
-        for p in expand(pattern):
+        for p in pats:
             p = streamline(p)
             if p == "":
                 # a pure edge-gap branch (`.*`): matches every doc
@@ -922,4 +952,4 @@ class LocalSearcher:
                     anchors = anchors[anchors + k <= doc_dl[doc] - 1]
                 if anchors.size:
                     result.add(int(doc))
-        return sorted(result | dp_result)
+        return result | dp_result

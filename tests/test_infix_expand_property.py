@@ -52,3 +52,32 @@ def test_expand_streamline_search_equivalence(pat, streams):
         want = bool(re.search(pat, s))
         got = any(b == "" or re.search(b, s) for b in branches)
         assert got == want, (pat, s, branches)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    pat=_patterns(2),
+    streams=st.lists(
+        st.text(alphabet="abxy01 ", max_size=12), min_size=5, max_size=8
+    ),
+)
+def test_expand_with_rep_probe_search_equivalence(pat, streams):
+    """Same equivalence with INTERIOR unbounded group repetition
+    finite-ized: a probe answering kmax = max stream length is sound
+    here because a nonempty body consumes ≥ 1 char per repeat, so no
+    stream of length L can realize more than L repeats — the branch
+    union must then be search-equivalent on these streams (the runtime
+    probe computes the same bound from the corpus via monotone
+    emptiness instead)."""
+    kmax = max((len(s) for s in streams), default=0)
+    try:
+        branches = [
+            streamline(b)
+            for b in expand(pat, rep_kmax=lambda body, lo: max(lo, kmax))
+        ]
+    except ValueError:
+        return  # documented scan fallback (incl. branch blow-up)
+    for s in streams:
+        want = bool(re.search(pat, s))
+        got = any(b == "" or re.search(b, s) for b in branches)
+        assert got == want, (pat, s, branches)

@@ -132,6 +132,11 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # report docs only, so unanchored search keeps the edge rep)
         "(a b)+", "(the )+fa", "(a |the ){1,}of", "ta(b le)*",
         "(da|ta) (ba se)+", "(a b)?(s t)+", "(x y)*",
+        # INTERIOR unbounded group repetition: corpus-probed
+        # finite-ization (_make_rep_probe — monotone X^k emptiness)
+        "me(rge fa)+st", "dat(a )*table", "s(can ){1,}fast",
+        "dat(a b)+cd", "x(y z)+w", "d(ata tab)+le",
+        "me(rge fa|ta da)+st", "a(b c)*d",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in engine.infix_docs(pat).collect()]
@@ -211,10 +216,10 @@ def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
     for bad in [
-        "x* y", "[a b]",                 # empty-matching / bad class
-        "c(a b)+d", "c(x.y)*d", "a||b",  # INTERIOR unbounded repetition
-        "a(x ){1,}b", "(a b){0,9}",      # interior unbounded / too wide
+        "x* y", "[a b]", "a||b",         # empty-matching / bad class
+        "(a b){0,9}",                    # bounded repetition too wide
         "((b|c)?)d",                     # group branch can match empty
+        "c(x* )+d",                      # rep body can match empty
         ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
     ]:
         with _pt.raises(ValueError):

@@ -141,6 +141,9 @@ def test_infix_matches_engine(searcher, engine):
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
         "(the )+fa", "ta(b le)*", "(a b)+",
+        # interior unbounded group repetition (corpus-probed, both
+        # planes run the same _make_rep_probe contract)
+        "me(rge fa)+st", "dat(a )*table", "s(can ){1,}fast",
     ]
     for pat in pats:
         got = searcher.infix_docs(pat)
