@@ -286,6 +286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_edge"] = lambda s, d: _engine(s, d).infix_docs(
         ".*erge.fas|data.+"
     )
+    # edge guard dots + interior gap chain: the `.+`/`.{m,}` edge guard
+    # threads through the positional chain (query/infix.detect_gaps
+    # head/tail, exact for runs <= _MAX_EDGE_GUARD)
+    q["fts_regex_infix_guardgap"] = lambda s, d: _engine(s, d).infix_docs(
+        ".+erge.*fas.+|.{2,}ta.+bl.+"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -574,6 +580,11 @@ WHERE regexp_matches(s, 'mer.*tab.*fas.*ow') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.*erge.fas|data.+') ORDER BY doc_id"""
+
+    o["fts_regex_infix_guardgap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, '.+erge.*fas.+|.{{2,}}ta.+bl.+') ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}
 SELECT DISTINCT doc_id

@@ -42,12 +42,15 @@ top-level alternation `A|B`, and groups `(A|B)`:
 
 Unbounded dot gaps (`.*`/`.+`) are index-answered too: EDGE gaps
 rewrite away per branch (streamline(), the reference's
-query_planning.c fix_initial/fix_final analogue) and INTERIOR gap
-chains `P0.*P1.*…Pk` up to _MAX_GAPS gaps evaluate as 2^k
-token-merge masks decided by greedy positional chains (detect_gaps /
-_gapk_docs). Remaining scan-fallback residue: `.+`-edge guard dots
-combined with an interior gap chain, plus the data-dependent interior-
-repetition caps above.
+query_planning.c fix_initial/fix_final analogue; adjacent literal dot
+runs fold into the gap) and INTERIOR gap chains `P0.*P1.*…Pk` up to
+_MAX_GAPS gaps evaluate as 2^k token-merge masks decided by greedy
+positional chains (detect_gaps / _gapk_docs). The guard dot runs a
+`.+`/`.{m,}` edge leaves behind thread through the gap chain as
+positional edge guards, exact for runs ≤ _MAX_EDGE_GUARD (see
+detect_gaps). Remaining scan-fallback residue: edge guards longer
+than _MAX_EDGE_GUARD combined with an interior gap chain, plus the
+data-dependent interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -527,9 +530,13 @@ def pattern_supported(pattern: str) -> bool:
 
 
 _GAP_RX = _re.compile(r"\.([*+])")
-_EDGE_HEAD = _re.compile(r"^\.(?:(\*)|(\+)|\{(\d+),\})")
-_EDGE_TAIL = _re.compile(r"\.(?:(\*)|(\+)|\{(\d+),\})$")
+_EDGE_HEAD = _re.compile(r"^(\.*)\.(?:(\*)|(\+)|\{(\d+),\})")
+_EDGE_TAIL = _re.compile(r"\.(?:(\*)|(\+)|\{(\d+),\})(\.*)$")
 _MAX_GAPS = 4  # gap chains: 2^k merge combos, capped tiny
+# edge guard dots folded into a gap chain: exact only while a token at
+# position >= 1 guarantees >= 2 stream chars on its open side (one-char
+# token + space), i.e. for guards of length <= 2
+_MAX_EDGE_GUARD = 2
 
 
 def streamline(pattern: str) -> str:
@@ -543,58 +550,74 @@ def streamline(pattern: str) -> str:
       `.{m,}B` ≡ `.{m}B` (≡ m dots)         and symmetrically at the tail
 
     because the surplus characters the gap would consume are exactly the
-    characters unanchored matching already ignores. Applied per expanded
-    branch (an in-token group can't contain '.', so a textual edge match
-    IS an edge gap). May return "" (`.*` alone) — the match-everything
-    pattern, handled by the callers.
+    characters unanchored matching already ignores. A literal dot run
+    adjacent to an edge gap folds into it (`..*B` ≡ `.{1,}B` ≡ `.B`),
+    so the rewrite loops until the edge is a plain dot run. Applied per
+    expanded branch (an in-token group can't contain '.', so a textual
+    edge match IS an edge gap). May return "" (`.*` alone) — the
+    match-everything pattern, handled by the callers.
 
-    Residue: the guard dots a `.+`/`.{m,}` edge leaves behind combine
-    with every downstream plane EXCEPT an interior gap chain (`.a.*b`
-    needs char-level start positions the token-level chain doesn't
-    carry) — that one combination stays on the scan fallback."""
+    The guard dots a `.+`/`.{m,}` edge leaves behind combine with every
+    downstream plane; an interior gap chain carries them as positional
+    edge guards (detect_gaps head/tail, exact for runs ≤
+    _MAX_EDGE_GUARD — longer runs fall to the scan)."""
     while True:
         m = _EDGE_HEAD.match(pattern)
         if m is None:
             break
-        rep = "." if m.group(2) else "." * int(m.group(3) or 0)
-        pattern = rep + pattern[m.end():]
-        if rep:
-            break  # a literal dot run can't re-match the head
+        guard = len(m.group(1)) + (1 if m.group(3) else int(m.group(4) or 0))
+        pattern = "." * guard + pattern[m.end():]
     while True:
         m = _EDGE_TAIL.search(pattern)
         if m is None:
             break
-        rep = "." if m.group(2) else "." * int(m.group(3) or 0)
-        pattern = pattern[: m.start()] + rep
-        if rep:
-            break
+        guard = len(m.group(4)) + (1 if m.group(2) else int(m.group(3) or 0))
+        pattern = pattern[: m.start()] + "." * guard
     return pattern
 
 
 def detect_gaps(pattern: str):
     """An interior unbounded-gap CHAIN `P0 .* P1 .* … Pk` (any mix of
-    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS) with every part a nonempty
-    single-fragment subpattern (no further dots or spaces — classes,
-    quantifiers, in-token groups are fine). Returns (parts, pluses) or
-    None. Exhaustive token-assignment decomposition: parts are
-    char-ordered, so only ADJACENT parts can share a token — each of the
-    2^k merge masks turns the chain into a sequence of token GROUPS
-    (adjacent merged parts joined by their gap's own .*/.+ inside one
-    term regex), and a doc matches the mask iff its stream has strictly
-    increasing token positions t0 < t1 < … matching the group regexes in
-    order (across tokens `.+` and `.*` coincide: the inter-token space
-    feeds the gap). Chain existence is decided greedily — earliest
-    feasible position per group (_gapk_docs). Edge gaps never reach here
-    (streamline() rewrote them)."""
+    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS), optionally wrapped in EDGE GUARD dot
+    runs (what streamline() leaves of a `.+`/`.{m,}` edge), with every
+    part a nonempty single-fragment subpattern (no further dots or
+    spaces — classes, quantifiers, in-token groups are fine). Returns
+    (parts, pluses, head_guard, tail_guard) or None. Exhaustive
+    token-assignment decomposition: parts are char-ordered, so only
+    ADJACENT parts can share a token — each of the 2^k merge masks turns
+    the chain into a sequence of token GROUPS (adjacent merged parts
+    joined by their gap's own .*/.+ inside one term regex), and a doc
+    matches the mask iff its stream has strictly increasing token
+    positions t0 < t1 < … matching the group regexes in order (across
+    tokens `.+` and `.*` coincide: the inter-token space feeds the gap).
+    Chain existence is decided greedily — earliest feasible position per
+    group (_gapk_docs).
+
+    Edge-guard exactness (why _MAX_EDGE_GUARD = 2): a head guard of g
+    dots requires g stream chars before the group-0 match start. A match
+    in a token at position t ≥ 1 always has ≥ 2 chars before it (the
+    shortest possible preceding token plus its space), so for g ≤ 2 the
+    guard only constrains position-0 matches — where the g chars must
+    come from inside the token, i.e. the term must match `.{g}P0`.
+    Symmetrically at the tail with the doc's token count. For g ≥ 3 a
+    position-1 match needs the FIRST TOKEN'S LENGTH, which the
+    positional plane doesn't carry — those fall to the scan."""
     ms = list(_GAP_RX.finditer(pattern))
     if not 1 <= len(ms) <= _MAX_GAPS:
         return None
     starts = [0] + [m.end() for m in ms]
     ends = [m.start() for m in ms] + [len(pattern)]
     parts = [pattern[i:j] for i, j in zip(starts, ends)]
+    head = len(parts[0]) - len(parts[0].lstrip("."))
+    tail = len(parts[-1]) - len(parts[-1].rstrip("."))
+    if head > _MAX_EDGE_GUARD or tail > _MAX_EDGE_GUARD:
+        return None
+    parts[0] = parts[0][head:]
+    if tail:
+        parts[-1] = parts[-1][:-tail]
     if not all(_gap_part_ok(p) for p in parts):
         return None
-    return parts, [m.group(1) == "+" for m in ms]
+    return parts, [m.group(1) == "+" for m in ms], head, tail
 
 
 def _gap_part_ok(part: str) -> bool:
@@ -628,7 +651,13 @@ def _gap_groups(parts: list[str], pluses: list[bool], mask: int):
 
 
 def _gapk_docs(
-    engine, vocab, ngrams, parts: list[str], pluses: list[bool]
+    engine,
+    vocab,
+    ngrams,
+    parts: list[str],
+    pluses: list[bool],
+    head: int = 0,
+    tail: int = 0,
 ) -> DataFrame:
     """Evaluate a gap chain (see detect_gaps): union over the 2^k merge
     masks; each mask's group sequence is decided by a greedy positional
@@ -636,7 +665,16 @@ def _gapk_docs(
     than eᵢ₋₁; the doc matches iff the chain completes (greedy earliest
     extension is complete for existence of ANY increasing chain). Each
     distinct group regex costs one gram-pruned vocab scan + one
-    positions decode, shared across masks."""
+    positions decode, shared across masks.
+
+    Edge guards (detect_gaps head/tail ≤ _MAX_EDGE_GUARD): a head guard
+    admits group-0 matches at pos ≥ 1 (≥ 2 stream chars precede any
+    non-first token) plus pos-0 matches whose TERM matches `.{h}P0`
+    (the guard chars come from inside the token); a tail guard admits
+    last-group matches at pos ≤ dl−2 plus terms matching `Pk.{t}`. For
+    a single merged group with BOTH guards the same in-token match must
+    carry both margins, so the four (pos-edge × token-edge) cases union
+    explicitly — `.{h}P.{t}` for the one-token-doc cell."""
 
     def cand(rx: str, run: str):
         pruned = prune_terms_by_grams(vocab, ngrams, run)
@@ -652,18 +690,72 @@ def _gapk_docs(
             ).select("doc_id", "pos")
         return pos_cache[rx]
 
+    gh, gt = "." * head, "." * tail
+
+    def head_pos(rx: str, run: str) -> DataFrame:
+        # the gram run of the guarded regex is the unguarded part's run
+        if not head:
+            return pos_of(rx, run)
+        return (
+            pos_of(rx, run)
+            .filter(F.col("pos") >= 1)
+            .unionByName(pos_of(gh + rx, run))
+        )
+
+    def tail_pos(rx: str, run: str) -> DataFrame:
+        if not tail:
+            return pos_of(rx, run)
+        capped = (
+            pos_of(rx, run)
+            .join(engine._docs, "doc_id")
+            .filter(F.col("pos") <= F.col("dl") - 2)
+            .select("doc_id", "pos")
+        )
+        return capped.unionByName(pos_of(rx + gt, run))
+
+    def single_group_docs(rx: str, run: str) -> DataFrame:
+        if not head and not tail:
+            return engine._docs_for_hashes(cand(rx, run)).select("doc_id")
+        # same-match exactness: enumerate (pos-edge × token-edge) cases
+        p = pos_of(rx, run)
+        a = p.filter(F.col("pos") >= 1) if head else p
+        if tail:
+            a = (
+                a.join(engine._docs, "doc_id")
+                .filter(F.col("pos") <= F.col("dl") - 2)
+                .select("doc_id", "pos")
+            )
+        d = a.select("doc_id")
+        if head:
+            b = pos_of(gh + rx, run)
+            if tail:
+                b = (
+                    b.join(engine._docs, "doc_id")
+                    .filter(F.col("pos") <= F.col("dl") - 2)
+                    .select("doc_id", "pos")
+                )
+            d = d.union(b.select("doc_id"))
+        if tail:
+            c = pos_of(rx + gt, run)
+            if head:
+                c = c.filter(F.col("pos") >= 1)
+            d = d.union(c.select("doc_id"))
+            if head:
+                d = d.union(pos_of(gh + rx + gt, run).select("doc_id"))
+        return d
+
     result: DataFrame | None = None
     for mask in range(1 << len(pluses)):
         groups = _gap_groups(parts, pluses, mask)
         if len(groups) == 1:
-            d = engine._docs_for_hashes(cand(*groups[0])).select("doc_id")
+            d = single_group_docs(*groups[0])
         else:
             e = (
-                pos_of(*groups[0])
+                head_pos(*groups[0])
                 .groupBy("doc_id")
                 .agg(F.min("pos").alias("e"))
             )
-            for g in groups[1:]:
+            for g in groups[1:-1]:
                 e = (
                     pos_of(*g)
                     .join(e, "doc_id")
@@ -671,6 +763,13 @@ def _gapk_docs(
                     .groupBy("doc_id")
                     .agg(F.min("pos").alias("e"))
                 )
+            e = (
+                tail_pos(*groups[-1])
+                .join(e, "doc_id")
+                .filter(F.col("pos") > F.col("e"))
+                .groupBy("doc_id")
+                .agg(F.min("pos").alias("e"))
+            )
             d = e.select("doc_id")
         result = d if result is None else result.union(d)
     return result

@@ -747,12 +747,23 @@ class LocalSearcher:
                             result.add(doc)
         return result
 
-    def _gapk_infix_docs(self, parts: list[str], pluses: list[bool]) -> set[int]:
+    def _gapk_infix_docs(
+        self,
+        parts: list[str],
+        pluses: list[bool],
+        head: int = 0,
+        tail: int = 0,
+    ) -> set[int]:
         """Serving form of query/infix._gapk_docs: union over the 2^k
         merge masks, each decided by the greedy positional chain (doc
         matches iff strictly increasing token positions exist matching
         the mask's group regexes in order). Position maps are cached per
-        distinct group regex across masks."""
+        distinct group regex across masks. Edge guards (head/tail dot
+        runs ≤ _MAX_EDGE_GUARD, see that docstring): a head guard admits
+        group-0 positions ≥ 1 plus positions of terms matching `.{h}P0`;
+        a tail guard admits last-group positions ≤ dl−2 plus positions
+        of terms matching `Pk.{t}`; a single merged group with both
+        guards unions the four (pos-edge × token-edge) cases."""
         import re
 
         from .query.infix import _gap_groups
@@ -766,13 +777,77 @@ class LocalSearcher:
                 pmap_cache[rx] = self._positions_map([h for _, h in rows])
             return pmap_cache[rx]
 
+        gh, gt = "." * head, "." * tail
+
+        def merged(base: dict, extra: dict) -> dict:
+            out = dict(base)
+            for doc, p in extra.items():
+                out[doc] = np.union1d(out[doc], p) if doc in out else p
+            return out
+
+        def head_map(rx: str, run: str):
+            # the gram run of a guarded regex is the unguarded part's run
+            if not head:
+                return pmap(rx, run)
+            base = {
+                doc: q
+                for doc, p in pmap(rx, run).items()
+                if (q := p[p >= 1]).size
+            }
+            return merged(base, pmap(gh + rx, run))
+
+        def cap_tail(mp: dict) -> dict:
+            dls = self._doc_dls(set(mp))
+            return {
+                doc: q
+                for doc, p in mp.items()
+                if (q := p[p <= dls.get(doc, 0) - 2]).size
+            }
+
+        def tail_map(rx: str, run: str):
+            if not tail:
+                return pmap(rx, run)
+            return merged(cap_tail(pmap(rx, run)), pmap(rx + gt, run))
+
+        def single_docs(rx: str, run: str) -> set[int]:
+            if not head and not tail:
+                return set(pmap(rx, run))
+            # same-match exactness: the (pos-edge × token-edge) cases
+            a = pmap(rx, run)
+            if head:
+                a = {
+                    doc: q for doc, p in a.items() if (q := p[p >= 1]).size
+                }
+            if tail:
+                a = cap_tail(a)
+            docs = set(a)
+            if head:
+                b = pmap(gh + rx, run)
+                docs |= set(cap_tail(b) if tail else b)
+            if tail:
+                c = pmap(rx + gt, run)
+                if head:
+                    c = {
+                        doc: q
+                        for doc, p in c.items()
+                        if (q := p[p >= 1]).size
+                    }
+                docs |= set(c)
+                if head:
+                    docs |= set(pmap(gh + rx + gt, run))
+            return docs
+
         result: set[int] = set()
         for mask in range(1 << len(pluses)):
             groups = _gap_groups(parts, pluses, mask)
-            maps = [pmap(*g) for g in groups]
-            if len(maps) == 1:
-                result |= set(maps[0])
+            if len(groups) == 1:
+                result |= single_docs(*groups[0])
                 continue
+            maps = (
+                [head_map(*groups[0])]
+                + [pmap(*g) for g in groups[1:-1]]
+                + [tail_map(*groups[-1])]
+            )
             common = set(maps[0])
             for mp in maps[1:]:
                 common &= mp.keys()

@@ -120,6 +120,11 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         ".*able", "merge.*", ".+able", "able.+", ".*erge.fas",
         ".{2,}able", "able.{3,}", ".*mer.*ast", ".*a.+b.*",
         ".*able.*", ".+merge.+", ".+erge.fas", "data.+",
+        # edge guard dots + interior gap chain (positional edge guards,
+        # exact for runs <= _MAX_EDGE_GUARD; `..*B` folds into `.{1,}B`)
+        ".+a.*b", "a.*b.+", ".a.*b", "a.*b.", ".+erge.*fas.+",
+        ".{2,}a.*b", "..a.*b", "a.*b..", ".+m.*a.*t.+", ".+ab.*le.+",
+        ".+ta.+bl.+", "..*able.*.", ".+e.*r.*g.*e.+",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -220,7 +225,9 @@ def test_infix_rejects_unsupported(engine):
         "(a b){0,9}",                    # bounded repetition too wide
         "((b|c)?)d",                     # group branch can match empty
         "c(x* )+d",                      # rep body can match empty
-        ".+a.*b",  # `.+`-edge guard dot + interior gap chain (streamline residue)
+        # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
+        # positional plane can't see the first/last token's length)
+        ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

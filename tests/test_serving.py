@@ -137,6 +137,9 @@ def test_infix_matches_engine(searcher, engine):
         # k-gap chains and streamlined edge gaps
         "m.*a.*t.*s", "a.+b.*c.+d", "t.*a.+b.*l.+e",
         ".*able", "merge.*", ".+able", "able.+", ".{2,}able",
+        # edge guard dots + interior gap chain (positional edge guards)
+        ".+a.*b", "a.*b.+", ".a.*b", ".+erge.*fas.+", ".{2,}a.*b",
+        ".+ab.*le.+", ".+m.*a.*t.+",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
