@@ -925,21 +925,23 @@ class SearchEngine:
              feeds the anchor verification as its doc_filter, so the
              expensive positions decode + anchor groupBy only ever sees
              the prefix;
-          3. verified hits are SHARED ACROSS ROUNDS: round r+1 verifies
-             only candidates in (D_r, D_{r+1}] and unions the
-             checkpointed round-r hits — docs never re-verify, so the
-             multi-round path pays each positions decode once;
-          4. rounds stop as soon as k docs verify (or candidates run
-             out — then the result simply has fewer rows).
+          3. a round is ONE Spark job: `first (k − done) hits by doc
+             order` (TakeOrderedAndProject). Getting all of them means
+             the answer is complete; getting fewer means those rows are
+             the ENTIRE hit set below D — they carry to the next round
+             as driver-held rows (< k of them), so docs never re-verify
+             and no checkpoint/count jobs are paid;
+          4. rounds stop as soon as k docs accumulate (or candidates
+             run out — then the result simply has fewer rows).
 
         Every term co-occurring is necessary for a phrase match, so round
         1 usually verifies >> k docs; a pathological corpus where terms
-        co-occur but never adjoin now degrades to the full plan plus one
-        round of job latency (hits are never recomputed). Identical rows
-        to `phrase(query) ORDER BY doc_id LIMIT k` (the driver oracle).
-        Analogue of the reference's RANGE_TO_RESULTS chunked resolve —
-        resolve only as many chunks as the request needs
-        (src/main/server.c femto_range_to_results_request)."""
+        co-occur but never adjoin degrades to the full plan plus one
+        round of job latency (hits below prev_hi are never recomputed).
+        Identical rows to `phrase(query) ORDER BY doc_id LIMIT k` (the
+        driver oracle). Analogue of the reference's RANGE_TO_RESULTS
+        chunked resolve — resolve only as many chunks as the request
+        needs (src/main/server.c femto_range_to_results_request)."""
         terms = tokenize(query)
         schema = "doc_id long, n_matches long, first_pos long"
         if not terms or k <= 0:
@@ -958,7 +960,7 @@ class SearchEngine:
         D = min(max_doc, -(-target * (max_doc + 1) // max(min_df, 1)))
         rare = min(uniq, key=lambda t: stats[t][0])
         prev_hi = -1  # docs ≤ prev_hi are already verified (in acc)
-        acc = None  # checkpointed verified hits from earlier rounds
+        acc: list = []  # complete verified hits ≤ prev_hi (< k rows)
         while True:
             # rarest term's capped doc list: grp partitions past D are
             # pruned at the scan, block prefixes past D never
@@ -969,22 +971,21 @@ class SearchEngine:
             if prev_hi >= 0:
                 cand = cand.filter(F.col("doc_id") > prev_hi)
             hits = self._phrase_hits(terms, uniq, cand, doc_hi=D)
-            if acc is not None:
-                hits = acc.union(hits)
-            hits = hits.localCheckpoint(eager=True)
-            n_hits = hits.count()
-            if n_hits >= k or D >= max_doc:
-                return hits.orderBy("doc_id").limit(k)
-            acc, prev_hi = hits, D
+            need = k - len(acc)
+            got = hits.orderBy("doc_id").limit(need).collect()
+            if len(got) >= need or D >= max_doc:
+                return self.spark.createDataFrame(acc + got, schema)
+            acc += got  # got < need ⇒ got is ALL hits in (prev_hi, D]
+            prev_hi = D
             # adaptive growth: every round costs ~fixed job latency, so
             # extrapolate from the observed hit density instead of a blind
             # ×4 — and a hitless round means matches are rare enough that
             # the full range costs no more than any cap (2-round worst
             # case for never-matching phrases)
-            if n_hits == 0:
+            if not acc:
                 D = max_doc
             else:
-                D = min(max_doc, D * max(4, -(-2 * k // n_hits)))
+                D = min(max_doc, D * max(4, -(-2 * k // len(acc))))
 
     def _max_doc(self) -> int:
         """Largest doc_id in the index (memoized; parquet-stats scan)."""
