@@ -292,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_guardgap"] = lambda s, d: _engine(s, d).infix_docs(
         ".+erge.*fas.+|.{2,}ta.+bl.+"
     )
+    # MULTI-TOKEN gap parts: phrase-gap-phrase stays on the index —
+    # spaces split parts into consecutive token slots, in-part dots
+    # enumerate space/char choices (query/infix._gap_slot_groups)
+    q["fts_regex_infix_phrasegap"] = lambda s, d: _engine(s, d).infix_docs(
+        "erge fas.*tab|data tab.*le sc"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -585,6 +591,11 @@ WHERE regexp_matches(s, '.*erge.fas|data.+') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.+erge.*fas.+|.{{2,}}ta.+bl.+') ORDER BY doc_id"""
+
+    o["fts_regex_infix_phrasegap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'erge fas.*tab|data tab.*le sc') ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}
 SELECT DISTINCT doc_id

@@ -44,12 +44,18 @@ Unbounded dot gaps (`.*`/`.+`) are index-answered too: EDGE gaps
 rewrite away per branch (streamline(), the reference's
 query_planning.c fix_initial/fix_final analogue; adjacent literal dot
 runs fold into the gap) and INTERIOR gap chains `P0.*P1.*…Pk` up to
-_MAX_GAPS gaps evaluate as 2^k token-merge masks decided by greedy
-positional chains (detect_gaps / _gapk_docs). The guard dot runs a
-`.+`/`.{m,}` edge leaves behind thread through the gap chain as
-positional edge guards, exact for runs ≤ _MAX_EDGE_GUARD (see
-detect_gaps). Remaining scan-fallback residue: edge guards longer
-than _MAX_EDGE_GUARD combined with an interior gap chain, plus the
+_MAX_GAPS gaps evaluate as token-merge masks decided by greedy
+positional chains (detect_gaps / _gapk_docs). Parts may span MULTIPLE
+tokens — literal spaces split a part into consecutive-token slot
+fragments and in-part dots enumerate space/char choices — so
+phrase-gap-phrase shapes like `merge fast.*table scan` stay on the
+index. Interior dot runs around a gap fold into it (`.*.`≡`..*`≡`.+`,
+_fold_gap_runs), and the guard dot runs a `.+`/`.{m,}` edge leaves
+behind thread through the chain as positional edge guards, exact for
+runs ≤ _MAX_EDGE_GUARD (see detect_gaps). Remaining scan-fallback
+residue: min-2-char interior gaps (`.+.+`, `.*..`), gaps meeting a
+token boundary exactly (a space adjacent to a gap: `a .*b`), edge
+guards longer than _MAX_EDGE_GUARD combined with a gap chain, and the
 data-dependent interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
@@ -576,32 +582,102 @@ def streamline(pattern: str) -> str:
     return pattern
 
 
+_GAP_RUN_RX = _re.compile(r"(?:\.[*+]?)+")
+
+
+def _fold_gap_runs(pattern: str) -> str:
+    """A maximal interior run mixing `.*`/`.+` gaps and literal dots
+    folds to one canonical gap: the run requires m = (#dots + #plus-
+    gaps) chars with no upper bound, so `.*.` ≡ `..*` ≡ `.+` and
+    `.*.*` ≡ `.*`. m == 0 → `.*`; m == 1 → `.+`; m ≥ 2 would need a
+    min-m-char gap the token-positional plane can't express — the run
+    is left in place and detect_gaps rejects the dot-edged part it
+    creates (scan fallback). Pure-dot runs are literal wildcards,
+    untouched; EDGE runs were already rewritten by streamline()."""
+    out, last = [], 0
+    for m in _GAP_RUN_RX.finditer(pattern):
+        seg = m.group(0)
+        if "*" not in seg and "+" not in seg:
+            continue
+        mins, j = 0, 0
+        while j < len(seg):
+            if j + 1 < len(seg) and seg[j + 1] in "*+":
+                mins += seg[j + 1] == "+"
+                j += 2
+            else:
+                mins += 1
+                j += 1
+        if mins > 1:
+            continue
+        out.append(pattern[last : m.start()])
+        out.append(".*" if mins == 0 else ".+")
+        last = m.end()
+    out.append(pattern[last:])
+    return "".join(out)
+
+
+_MAX_GAP_COMBOS = 16
+
+
+def _gap_part_variants(parts: list[str]):
+    """Per-part variant fragment-tuples (variants(): every in-part dot
+    independently plays a space or an in-token char), validated for the
+    positional chain: every fragment of every variant must be NONEMPTY —
+    an empty EDGE fragment would mean the gap meets a token boundary
+    exactly, which needs char-level gap lengths the token-positional
+    plane doesn't carry. Returns None (→ scan fallback) on any
+    unsupported part or when the variant-choice product exceeds
+    _MAX_GAP_COMBOS."""
+    out, combos = [], 1
+    for part in parts:
+        if not part:
+            return None
+        try:
+            vs = variants(part)
+        except ValueError:
+            return None
+        if not vs or any("" in frags for frags in vs):
+            return None
+        combos *= len(vs)
+        if combos > _MAX_GAP_COMBOS:
+            return None
+        out.append(vs)
+    return out
+
+
 def detect_gaps(pattern: str):
     """An interior unbounded-gap CHAIN `P0 .* P1 .* … Pk` (any mix of
-    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS), optionally wrapped in EDGE GUARD dot
-    runs (what streamline() leaves of a `.+`/`.{m,}` edge), with every
-    part a nonempty single-fragment subpattern (no further dots or
-    spaces — classes, quantifiers, in-token groups are fine). Returns
-    (parts, pluses, head_guard, tail_guard) or None. Exhaustive
-    token-assignment decomposition: parts are char-ordered, so only
-    ADJACENT parts can share a token — each of the 2^k merge masks turns
-    the chain into a sequence of token GROUPS (adjacent merged parts
-    joined by their gap's own .*/.+ inside one term regex), and a doc
-    matches the mask iff its stream has strictly increasing token
-    positions t0 < t1 < … matching the group regexes in order (across
-    tokens `.+` and `.*` coincide: the inter-token space feeds the gap).
-    Chain existence is decided greedily — earliest feasible position per
-    group (_gapk_docs).
+    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS after _fold_gap_runs), optionally
+    wrapped in EDGE GUARD dot runs (what streamline() leaves of a
+    `.+`/`.{m,}` edge). Parts may span MULTIPLE tokens: literal spaces
+    split a part into consecutive-token fragments and in-part dots
+    enumerate space/char choices (variants(); every fragment must stay
+    nonempty — _gap_part_variants). Returns (parts, pluses, head_guard,
+    tail_guard) or None.
+
+    Exhaustive token-assignment decomposition: parts are char-ordered
+    and a part's match occupies a CONTIGUOUS token range, so only
+    ADJACENT parts can share (exactly) the boundary token — each of the
+    2^k merge masks turns the chain into a sequence of token-slot
+    GROUPS (_gap_slot_groups; a merged gap joins the two boundary
+    fragments inside one term regex, where `.+` keeps its ≥1-char
+    in-token meaning and across tokens `.+`/`.*` coincide — the
+    inter-token space feeds the gap). A doc matches the mask iff its
+    stream has group start positions a₀, a₁, … with aᵢ₊₁ ≥ aᵢ + Lᵢ
+    (no token sharing beyond the merged cases), decided greedily —
+    earliest feasible start per group (_gapk_docs).
 
     Edge-guard exactness (why _MAX_EDGE_GUARD = 2): a head guard of g
     dots requires g stream chars before the group-0 match start. A match
-    in a token at position t ≥ 1 always has ≥ 2 chars before it (the
-    shortest possible preceding token plus its space), so for g ≤ 2 the
-    guard only constrains position-0 matches — where the g chars must
-    come from inside the token, i.e. the term must match `.{g}P0`.
-    Symmetrically at the tail with the doc's token count. For g ≥ 3 a
-    position-1 match needs the FIRST TOKEN'S LENGTH, which the
-    positional plane doesn't carry — those fall to the scan."""
+    starting in a token at position a ≥ 1 always has ≥ 2 chars before it
+    (the shortest possible preceding token plus its space), so for g ≤ 2
+    the guard only constrains position-0 matches — where the g chars
+    must come from inside the token, i.e. the group's FIRST slot must
+    match `.{g}<slot-regex>`. Symmetrically at the tail with the doc's
+    token count and the group's LAST slot. For g ≥ 3 a position-1 match
+    needs the FIRST TOKEN'S LENGTH, which the positional plane doesn't
+    carry — those fall to the scan."""
+    pattern = _fold_gap_runs(pattern)
     ms = list(_GAP_RX.finditer(pattern))
     if not 1 <= len(ms) <= _MAX_GAPS:
         return None
@@ -615,38 +691,63 @@ def detect_gaps(pattern: str):
     parts[0] = parts[0][head:]
     if tail:
         parts[-1] = parts[-1][:-tail]
-    if not all(_gap_part_ok(p) for p in parts):
+    if _gap_part_variants(parts) is None:
         return None
     return parts, [m.group(1) == "+" for m in ms], head, tail
 
 
-def _gap_part_ok(part: str) -> bool:
-    """A gap part must be a nonempty single-fragment subpattern: no
-    further dots or spaces, lexes, and cannot match empty."""
-    if not part or "." in part or " " in part:
-        return False
-    try:
-        return _has_required(_units(part))
-    except ValueError:
-        return False
-
-
-def _gap_groups(parts: list[str], pluses: list[bool], mask: int):
-    """Token groups for one merge mask: (regex, gram-run) per group. The
-    gram-run is the longest required literal run among the group's parts
-    — a term matching the merged regex contains a match of EVERY part,
-    so any part's run is a sound prune; pick the most selective."""
-    runs = [required_run_from_units(_units(p)) for p in parts]
-    groups: list[tuple[str, str]] = []
-    rx, run = parts[0], runs[0]
-    for i, plus in enumerate(pluses):
-        if (mask >> i) & 1:  # gap i merged: parts i, i+1 share a token
-            rx += (".+" if plus else ".*") + parts[i + 1]
-            run = max(run, runs[i + 1], key=len)
+def _part_slots(frags: tuple[str, ...]):
+    """(offset, term-regex, gram-run) per fragment of one part variant —
+    same anchoring as _slot_regexes (suffix / whole / prefix / lone
+    unanchored); every offset 0..len(frags)-1 is present because edge
+    fragments are nonempty (_gap_part_variants). Invariants the merge
+    in _gap_slot_groups relies on: the FIRST slot's regex never starts
+    with '^' and the LAST slot's never ends with '$'."""
+    k = len(frags) - 1
+    slots = []
+    for j, f in enumerate(frags):
+        if k == 0:
+            rx = f
+        elif j == 0:
+            rx = f + "$"
+        elif j == k:
+            rx = "^" + f
         else:
-            groups.append((rx, run))
-            rx, run = parts[i + 1], runs[i + 1]
-    groups.append((rx, run))
+            rx = "^" + f + "$"
+        slots.append((j, rx, required_run_from_units(_units(f))))
+    return slots
+
+
+def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
+    """Token-slot groups for one (variant-choice, merge-mask): each
+    group is (slots, L), slots = [(offset, term-regex, gram-run)] over
+    offsets 0..L-1. A merged gap joins the accumulated group's LAST slot
+    to the next part's FIRST slot inside one term regex — `last + .*/.+
+    + first` is anchor-exact by the _part_slots invariants (the gap
+    consumes only in-token chars of the shared boundary token) — and
+    the next part's remaining slots shift by L-1. The merged slot's
+    gram-run is the most selective constituent run (a term matching the
+    merged regex contains a match of every constituent)."""
+    groups = []
+    slots = list(_part_slots(pvar[0]))
+    L = len(pvar[0])
+    for i, plus in enumerate(pluses):
+        nxt = _part_slots(pvar[i + 1])
+        nL = len(pvar[i + 1])
+        if (mask >> i) & 1:  # gap i merged: boundary token shared
+            gap = ".+" if plus else ".*"
+            _, lrx, lrun = slots[-1]
+            _, frx, frun = nxt[0]
+            slots = (
+                slots[:-1]
+                + [(L - 1, lrx + gap + frx, max(lrun, frun, key=len))]
+                + [(off + L - 1, rx, run) for off, rx, run in nxt[1:]]
+            )
+            L += nL - 1
+        else:
+            groups.append((slots, L))
+            slots, L = list(nxt), nL
+    groups.append((slots, L))
     return groups
 
 
@@ -659,22 +760,31 @@ def _gapk_docs(
     head: int = 0,
     tail: int = 0,
 ) -> DataFrame:
-    """Evaluate a gap chain (see detect_gaps): union over the 2^k merge
-    masks; each mask's group sequence is decided by a greedy positional
-    chain — e₀ = min pos of group 0, eᵢ = min pos of group i greater
-    than eᵢ₋₁; the doc matches iff the chain completes (greedy earliest
-    extension is complete for existence of ANY increasing chain). Each
-    distinct group regex costs one gram-pruned vocab scan + one
-    positions decode, shared across masks.
+    """Evaluate a gap chain (see detect_gaps): union over (per-part
+    variant choices × 2^k merge masks); each combination's group
+    sequence is decided by a greedy positional chain — a₀ = min start of
+    group 0, aᵢ = min start of group i that is ≥ aᵢ₋₁ + Lᵢ₋₁; the doc
+    matches iff the chain completes (greedy earliest extension is
+    complete for existence of ANY valid chain). A group's START
+    positions come from anchor-joining its slots (token at a+off must
+    match slot regex `off` for every slot) — each distinct slot regex
+    costs one gram-pruned vocab scan + one positions decode, and each
+    distinct slot SET one join tree, shared across combinations.
 
     Edge guards (detect_gaps head/tail ≤ _MAX_EDGE_GUARD): a head guard
-    admits group-0 matches at pos ≥ 1 (≥ 2 stream chars precede any
-    non-first token) plus pos-0 matches whose TERM matches `.{h}P0`
-    (the guard chars come from inside the token); a tail guard admits
-    last-group matches at pos ≤ dl−2 plus terms matching `Pk.{t}`. For
-    a single merged group with BOTH guards the same in-token match must
-    carry both margins, so the four (pos-edge × token-edge) cases union
-    explicitly — `.{h}P.{t}` for the one-token-doc cell."""
+    admits group-0 starts at a ≥ 1 (≥ 2 stream chars precede any
+    non-first token) plus starts whose FIRST SLOT term matches
+    `.{h}<slot0-rx>` (the guard chars come from inside the token); a
+    tail guard admits last-group starts with end token a+L−1 ≤ dl−2
+    plus starts whose LAST SLOT term matches `<slotL-rx>.{t}`. For a
+    single group with BOTH guards the same match must carry both
+    margins, so the four (pos-edge × token-edge) cases union explicitly
+    — both slot guards at once for the all-in-token cell."""
+    from itertools import product
+
+    pvars = _gap_part_variants(parts)
+    if pvars is None:  # detect_gaps validated; defensive
+        raise ValueError(f"unsupported gap parts: {parts!r}")
 
     def cand(rx: str, run: str):
         pruned = prune_terms_by_grams(vocab, ngrams, run)
@@ -684,94 +794,123 @@ def _gapk_docs(
     pos_cache: dict[str, DataFrame] = {}
 
     def pos_of(rx: str, run: str) -> DataFrame:
+        # the gram run of a guarded/merged regex is a constituent's run
         if rx not in pos_cache:
             pos_cache[rx] = engine._positions_for_hashes(
                 cand(rx, run)
             ).select("doc_id", "pos")
         return pos_cache[rx]
 
+    start_cache: dict[tuple, DataFrame] = {}
+
+    def starts_of(slots) -> DataFrame:
+        key = tuple((off, rx) for off, rx, _ in slots)
+        if key not in start_cache:
+            df = None
+            for off, rx, run in slots:
+                p = pos_of(rx, run).select(
+                    "doc_id", (F.col("pos") - F.lit(off)).alias("a")
+                )
+                df = p if df is None else df.join(p, ["doc_id", "a"], "leftsemi")
+            start_cache[key] = df
+        return start_cache[key]
+
     gh, gt = "." * head, "." * tail
 
-    def head_pos(rx: str, run: str) -> DataFrame:
-        # the gram run of the guarded regex is the unguarded part's run
-        if not head:
-            return pos_of(rx, run)
+    def g_head(slots):
+        (o0, rx0, run0) = slots[0]
+        return [(o0, gh + rx0, run0)] + list(slots[1:])
+
+    def g_tail(slots):
+        (oL, rxL, runL) = slots[-1]
+        return list(slots[:-1]) + [(oL, rxL + gt, runL)]
+
+    def cap_tail(df: DataFrame, L: int) -> DataFrame:
         return (
-            pos_of(rx, run)
-            .filter(F.col("pos") >= 1)
-            .unionByName(pos_of(gh + rx, run))
+            df.join(engine._docs, "doc_id")
+            .filter(F.col("a") <= F.col("dl") - 1 - L)
+            .select("doc_id", "a")
         )
 
-    def tail_pos(rx: str, run: str) -> DataFrame:
+    def head_starts(slots, L: int) -> DataFrame:
+        if not head:
+            return starts_of(slots)
+        return (
+            starts_of(slots)
+            .filter(F.col("a") >= 1)
+            .unionByName(starts_of(g_head(slots)))
+        )
+
+    def tail_starts(slots, L: int) -> DataFrame:
         if not tail:
-            return pos_of(rx, run)
-        capped = (
-            pos_of(rx, run)
-            .join(engine._docs, "doc_id")
-            .filter(F.col("pos") <= F.col("dl") - 2)
-            .select("doc_id", "pos")
+            return starts_of(slots)
+        return cap_tail(starts_of(slots), L).unionByName(
+            starts_of(g_tail(slots))
         )
-        return capped.unionByName(pos_of(rx + gt, run))
 
-    def single_group_docs(rx: str, run: str) -> DataFrame:
+    def single_group_docs(slots, L: int) -> DataFrame:
         if not head and not tail:
-            return engine._docs_for_hashes(cand(rx, run)).select("doc_id")
-        # same-match exactness: enumerate (pos-edge × token-edge) cases
-        p = pos_of(rx, run)
-        a = p.filter(F.col("pos") >= 1) if head else p
+            if len(slots) == 1:  # docs plane suffices: no positions
+                _, rx, run = slots[0]
+                return engine._docs_for_hashes(cand(rx, run)).select(
+                    "doc_id"
+                )
+            return starts_of(slots).select("doc_id")
+        a = starts_of(slots)
+        if head:
+            a = a.filter(F.col("a") >= 1)
         if tail:
-            a = (
-                a.join(engine._docs, "doc_id")
-                .filter(F.col("pos") <= F.col("dl") - 2)
-                .select("doc_id", "pos")
-            )
+            a = cap_tail(a, L)
         d = a.select("doc_id")
         if head:
-            b = pos_of(gh + rx, run)
+            b = starts_of(g_head(slots))
             if tail:
-                b = (
-                    b.join(engine._docs, "doc_id")
-                    .filter(F.col("pos") <= F.col("dl") - 2)
-                    .select("doc_id", "pos")
-                )
+                b = cap_tail(b, L)
             d = d.union(b.select("doc_id"))
         if tail:
-            c = pos_of(rx + gt, run)
+            c = starts_of(g_tail(slots))
             if head:
-                c = c.filter(F.col("pos") >= 1)
+                c = c.filter(F.col("a") >= 1)
             d = d.union(c.select("doc_id"))
             if head:
-                d = d.union(pos_of(gh + rx + gt, run).select("doc_id"))
+                d = d.union(
+                    starts_of(g_tail(g_head(slots))).select("doc_id")
+                )
         return d
 
     result: DataFrame | None = None
-    for mask in range(1 << len(pluses)):
-        groups = _gap_groups(parts, pluses, mask)
-        if len(groups) == 1:
-            d = single_group_docs(*groups[0])
-        else:
-            e = (
-                head_pos(*groups[0])
-                .groupBy("doc_id")
-                .agg(F.min("pos").alias("e"))
-            )
-            for g in groups[1:-1]:
+    for pvar in product(*pvars):
+        for mask in range(1 << len(pluses)):
+            groups = _gap_slot_groups(pvar, pluses, mask)
+            if len(groups) == 1:
+                d = single_group_docs(*groups[0])
+            else:
+                s0, L0 = groups[0]
                 e = (
-                    pos_of(*g)
-                    .join(e, "doc_id")
-                    .filter(F.col("pos") > F.col("e"))
+                    head_starts(s0, L0)
                     .groupBy("doc_id")
-                    .agg(F.min("pos").alias("e"))
+                    .agg(F.min("a").alias("e"))
                 )
-            e = (
-                tail_pos(*groups[-1])
-                .join(e, "doc_id")
-                .filter(F.col("pos") > F.col("e"))
-                .groupBy("doc_id")
-                .agg(F.min("pos").alias("e"))
-            )
-            d = e.select("doc_id")
-        result = d if result is None else result.union(d)
+                prev_l = L0
+                for slots, L in groups[1:-1]:
+                    e = (
+                        starts_of(slots)
+                        .join(e, "doc_id")
+                        .filter(F.col("a") >= F.col("e") + prev_l)
+                        .groupBy("doc_id")
+                        .agg(F.min("a").alias("e"))
+                    )
+                    prev_l = L
+                sl, Ll = groups[-1]
+                e = (
+                    tail_starts(sl, Ll)
+                    .join(e, "doc_id")
+                    .filter(F.col("a") >= F.col("e") + prev_l)
+                    .groupBy("doc_id")
+                    .agg(F.min("a").alias("e"))
+                )
+                d = e.select("doc_id")
+            result = d if result is None else result.union(d)
     return result
 
 

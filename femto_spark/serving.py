@@ -754,19 +754,26 @@ class LocalSearcher:
         head: int = 0,
         tail: int = 0,
     ) -> set[int]:
-        """Serving form of query/infix._gapk_docs: union over the 2^k
-        merge masks, each decided by the greedy positional chain (doc
-        matches iff strictly increasing token positions exist matching
-        the mask's group regexes in order). Position maps are cached per
-        distinct group regex across masks. Edge guards (head/tail dot
-        runs ≤ _MAX_EDGE_GUARD, see that docstring): a head guard admits
-        group-0 positions ≥ 1 plus positions of terms matching `.{h}P0`;
-        a tail guard admits last-group positions ≤ dl−2 plus positions
-        of terms matching `Pk.{t}`; a single merged group with both
-        guards unions the four (pos-edge × token-edge) cases."""
+        """Serving form of query/infix._gapk_docs: union over (per-part
+        variant choices × 2^k merge masks), each decided by the greedy
+        positional chain (doc matches iff group start positions a₀, a₁,
+        … exist with aᵢ₊₁ ≥ aᵢ + Lᵢ and every slot of each group
+        matching at its offset). Position maps are cached per distinct
+        slot regex and start maps per slot set, shared across
+        combinations. Edge guards (head/tail dot runs ≤ _MAX_EDGE_GUARD,
+        see detect_gaps): a head guard admits group-0 starts ≥ 1 plus
+        starts whose first-slot term matches `.{h}<rx>`; a tail guard
+        admits last-group starts with end token ≤ dl−2 plus starts
+        whose last-slot term matches `<rx>.{t}`; a single group with
+        both guards unions the four (pos-edge × token-edge) cases."""
         import re
+        from itertools import product
 
-        from .query.infix import _gap_groups
+        from .query.infix import _gap_part_variants, _gap_slot_groups
+
+        pvars = _gap_part_variants(parts)
+        if pvars is None:  # detect_gaps validated; defensive
+            raise ValueError(f"unsupported gap parts: {parts!r}")
 
         pmap_cache: dict[str, dict] = {}
 
@@ -777,7 +784,36 @@ class LocalSearcher:
                 pmap_cache[rx] = self._positions_map([h for _, h in rows])
             return pmap_cache[rx]
 
+        start_cache: dict[tuple, dict] = {}
+
+        def starts_of(slots):
+            key = tuple((off, rx) for off, rx, _ in slots)
+            if key not in start_cache:
+                m: dict | None = None
+                for off, rx, run in slots:
+                    pm = pmap(rx, run)
+                    if m is None:
+                        m = {doc: p - off for doc, p in pm.items()}
+                    else:
+                        m = {
+                            doc: q
+                            for doc in m.keys() & pm.keys()
+                            if (
+                                q := np.intersect1d(m[doc], pm[doc] - off)
+                            ).size
+                        }
+                start_cache[key] = m or {}
+            return start_cache[key]
+
         gh, gt = "." * head, "." * tail
+
+        def g_head(slots):
+            (o0, rx0, run0) = slots[0]
+            return [(o0, gh + rx0, run0)] + list(slots[1:])
+
+        def g_tail(slots):
+            (oL, rxL, runL) = slots[-1]
+            return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
         def merged(base: dict, extra: dict) -> dict:
             out = dict(base)
@@ -785,47 +821,47 @@ class LocalSearcher:
                 out[doc] = np.union1d(out[doc], p) if doc in out else p
             return out
 
-        def head_map(rx: str, run: str):
-            # the gram run of a guarded regex is the unguarded part's run
-            if not head:
-                return pmap(rx, run)
-            base = {
-                doc: q
-                for doc, p in pmap(rx, run).items()
-                if (q := p[p >= 1]).size
-            }
-            return merged(base, pmap(gh + rx, run))
-
-        def cap_tail(mp: dict) -> dict:
+        def cap_tail(mp: dict, L: int) -> dict:
             dls = self._doc_dls(set(mp))
             return {
                 doc: q
                 for doc, p in mp.items()
-                if (q := p[p <= dls.get(doc, 0) - 2]).size
+                if (q := p[p <= dls.get(doc, 0) - 1 - L]).size
             }
 
-        def tail_map(rx: str, run: str):
-            if not tail:
-                return pmap(rx, run)
-            return merged(cap_tail(pmap(rx, run)), pmap(rx + gt, run))
+        def head_starts(slots, L: int):
+            if not head:
+                return starts_of(slots)
+            base = {
+                doc: q
+                for doc, p in starts_of(slots).items()
+                if (q := p[p >= 1]).size
+            }
+            return merged(base, starts_of(g_head(slots)))
 
-        def single_docs(rx: str, run: str) -> set[int]:
+        def tail_starts(slots, L: int):
+            if not tail:
+                return starts_of(slots)
+            return merged(
+                cap_tail(starts_of(slots), L), starts_of(g_tail(slots))
+            )
+
+        def single_docs(slots, L: int) -> set[int]:
             if not head and not tail:
-                return set(pmap(rx, run))
-            # same-match exactness: the (pos-edge × token-edge) cases
-            a = pmap(rx, run)
+                return set(starts_of(slots))
+            a = starts_of(slots)
             if head:
                 a = {
                     doc: q for doc, p in a.items() if (q := p[p >= 1]).size
                 }
             if tail:
-                a = cap_tail(a)
+                a = cap_tail(a, L)
             docs = set(a)
             if head:
-                b = pmap(gh + rx, run)
-                docs |= set(cap_tail(b) if tail else b)
+                b = starts_of(g_head(slots))
+                docs |= set(cap_tail(b, L) if tail else b)
             if tail:
-                c = pmap(rx + gt, run)
+                c = starts_of(g_tail(slots))
                 if head:
                     c = {
                         doc: q
@@ -834,34 +870,36 @@ class LocalSearcher:
                     }
                 docs |= set(c)
                 if head:
-                    docs |= set(pmap(gh + rx + gt, run))
+                    docs |= set(starts_of(g_tail(g_head(slots))))
             return docs
 
         result: set[int] = set()
-        for mask in range(1 << len(pluses)):
-            groups = _gap_groups(parts, pluses, mask)
-            if len(groups) == 1:
-                result |= single_docs(*groups[0])
-                continue
-            maps = (
-                [head_map(*groups[0])]
-                + [pmap(*g) for g in groups[1:-1]]
-                + [tail_map(*groups[-1])]
-            )
-            common = set(maps[0])
-            for mp in maps[1:]:
-                common &= mp.keys()
-            for doc in common - result:
-                e = int(maps[0][doc].min())
-                ok = True
+        for pvar in product(*pvars):
+            for mask in range(1 << len(pluses)):
+                groups = _gap_slot_groups(pvar, pluses, mask)
+                if len(groups) == 1:
+                    result |= single_docs(*groups[0])
+                    continue
+                maps = (
+                    [head_starts(*groups[0])]
+                    + [starts_of(s) for s, _ in groups[1:-1]]
+                    + [tail_starts(*groups[-1])]
+                )
+                lens = [L for _, L in groups]
+                common = set(maps[0])
                 for mp in maps[1:]:
-                    later = mp[doc][mp[doc] > e]
-                    if later.size == 0:
-                        ok = False
-                        break
-                    e = int(later.min())
-                if ok:
-                    result.add(doc)
+                    common &= mp.keys()
+                for doc in common - result:
+                    e = int(maps[0][doc].min())
+                    ok = True
+                    for mp, prev_l in zip(maps[1:], lens[:-1]):
+                        later = mp[doc][mp[doc] >= e + prev_l]
+                        if later.size == 0:
+                            ok = False
+                            break
+                        e = int(later.min())
+                    if ok:
+                        result.add(doc)
         return result
 
     def infix_docs(self, pattern: str) -> list[int]:

@@ -125,6 +125,14 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         ".+a.*b", "a.*b.+", ".a.*b", "a.*b.", ".+erge.*fas.+",
         ".{2,}a.*b", "..a.*b", "a.*b..", ".+m.*a.*t.+", ".+ab.*le.+",
         ".+ta.+bl.+", "..*able.*.", ".+e.*r.*g.*e.+",
+        # MULTI-TOKEN gap parts: spaces split parts into consecutive
+        # token slots; in-part dots enumerate space/char choices
+        "erge fas.*tab", "merge fast.*scan", "able.*data tab",
+        "a b.*c d", "ta.le.*fast", "erge.fas.*tab.e",
+        "mer.*tab le.*fas", "s(c|l)an fas.*tab", "e fast.+sc",
+        ".+erge fas.*tab", "data tab.*le sc.+", "a b.+c d.*e",
+        # interior gap-adjacent dots fold into the gap (`.*.`≡`..*`≡`.+`)
+        "a.*.b", "a..*b", "mer.*.fas", "ta.+.*ble", "a.*.*b",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -217,6 +225,44 @@ def test_infix_leading_boundary_position_one(spark, tmp_path):
         assert got == want, pat
 
 
+def test_infix_multitoken_gap_adversarial(spark, tmp_path):
+    """Handpicked streams that stress the multi-token gap-part cases:
+    boundary-token merges (both parts inside one token), phrase parts at
+    stream edges with guards, adjacent-token chains, and the in-part
+    dot space/char enumeration."""
+    import re
+
+    from femto_spark.index import build_index
+    from femto_spark.query import SearchEngine
+    from femto_spark.tokenizer import tokenize
+
+    docs = [
+        (0, "ab cd xy ef gh"),      # plain two-phrase chain
+        (1, "ab cdef gh"),          # parts share the boundary token cd|ef
+        (2, "ab cd ef gh"),         # adjacent tokens, empty gap
+        (3, "abcdefgh"),            # everything inside ONE token
+        (4, "cd ef"),               # phrase at stream start AND end
+        (5, "x ab cd y ef gh z"),   # guards satisfiable from neighbors
+        (6, "ef gh ab cd"),         # wrong order
+        (7, "ab qq cd ef"),         # first phrase broken
+        (8, "ab cd ef"),            # tail-guard edge: ends at match end
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    out = str(tmp_path / "ix")
+    build_index(spark, corpus, out, n_buckets=2)
+    eng = SearchEngine(spark, out, corpus=corpus)
+    streams = {d: " ".join(tokenize(t)) for d, t in docs}
+    for pat in [
+        "ab cd.*ef gh", "ab cd.+ef gh", "b cd.*ef g", "ab cd.*ef",
+        ".+ab cd.*ef gh", "ab cd.*ef gh.+", ".+b cd.*ef g.+",
+        "ab c..*ef", "ab cd.*e. g.", "a. cd.+ef", "cd.*ef",
+        "ab cd.*ef.*gh", "b c.*f g.*h",
+    ]:
+        want = sorted(d for d, s in streams.items() if re.search(pat, s))
+        got = [r["doc_id"] for r in eng.infix_docs(pat).collect()]
+        assert got == want, (pat, got, want)
+
+
 def test_infix_rejects_unsupported(engine):
     import pytest as _pt
 
@@ -228,6 +274,9 @@ def test_infix_rejects_unsupported(engine):
         # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
         # positional plane can't see the first/last token's length)
         ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
+        # min-2-char interior gaps / gaps meeting a token boundary
+        # exactly (char-level gap lengths the token plane can't carry)
+        "a.*..b", "a.+.+b", "a .*b", "a.* b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

@@ -140,6 +140,9 @@ def test_infix_matches_engine(searcher, engine):
         # edge guard dots + interior gap chain (positional edge guards)
         ".+a.*b", "a.*b.+", ".a.*b", ".+erge.*fas.+", ".{2,}a.*b",
         ".+ab.*le.+", ".+m.*a.*t.+",
+        # multi-token gap parts + interior gap-dot folding
+        "erge fas.*tab", "merge fast.*scan", "a b.*c d", "ta.le.*fast",
+        "mer.*tab le.*fas", ".+erge fas.*tab", "a.*.b", "a..*b",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
