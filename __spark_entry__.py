@@ -298,6 +298,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_phrasegap"] = lambda s, d: _engine(s, d).infix_docs(
         "erge fas.*tab|data tab.*le sc"
     )
+    # boundary-exact gap edges: a literal space adjacent to a `.*` gap
+    # (empty edge fragment — successor-token constraint, merge mask
+    # forbidden on that gap; query/infix._gap_part_variants)
+    q["fts_regex_infix_boundary"] = lambda s, d: _engine(s, d).infix_docs(
+        "merge fast.* sc|erge .*fas ta"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -591,6 +597,11 @@ WHERE regexp_matches(s, '.*erge.fas|data.+') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, '.+erge.*fas.+|.{{2,}}ta.+bl.+') ORDER BY doc_id"""
+
+    o["fts_regex_infix_boundary"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'merge fast.* sc|erge .*fas ta') ORDER BY doc_id"""
 
     o["fts_regex_infix_phrasegap"] = f"""{_BASE}
 SELECT DISTINCT doc_id

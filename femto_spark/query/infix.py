@@ -52,11 +52,15 @@ phrase-gap-phrase shapes like `merge fast.*table scan` stay on the
 index. Interior dot runs around a gap fold into it (`.*.`≡`..*`≡`.+`,
 _fold_gap_runs), and the guard dot runs a `.+`/`.{m,}` edge leaves
 behind thread through the chain as positional edge guards, exact for
-runs ≤ _MAX_EDGE_GUARD (see detect_gaps). Remaining scan-fallback
-residue: min-2-char interior gaps (`.+.+`, `.*..`), gaps meeting a
-token boundary exactly (a space adjacent to a gap: `a .*b`), edge
-guards longer than _MAX_EDGE_GUARD combined with a gap chain, and the
-data-dependent interior-repetition caps above.
+runs ≤ _MAX_EDGE_GUARD (see detect_gaps). A literal space adjacent to
+a `.*` gap (`a .*b` — the gap meets a token boundary exactly) is an
+empty edge fragment: a required successor/predecessor-token constraint
+with the merge mask forbidden on that gap. Remaining scan-fallback
+residue: min-2-char interior gaps (`.+.+`, `.*..`), `.+` adjacent to a
+boundary-exact edge (`a .+b` — needs char-level flushness), edge
+guards longer than _MAX_EDGE_GUARD or on the same side as a
+boundary-exact chain edge, and the data-dependent interior-repetition
+caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -622,11 +626,15 @@ _MAX_GAP_COMBOS = 16
 def _gap_part_variants(parts: list[str]):
     """Per-part variant fragment-tuples (variants(): every in-part dot
     independently plays a space or an in-token char), validated for the
-    positional chain: every fragment of every variant must be NONEMPTY —
-    an empty EDGE fragment would mean the gap meets a token boundary
-    exactly, which needs char-level gap lengths the token-positional
-    plane doesn't carry. Returns None (→ scan fallback) on any
-    unsupported part or when the variant-choice product exceeds
+    positional chain. EDGE fragments may be EMPTY — a literal space at a
+    part edge means the part consumes the inter-token space itself, so
+    the part's match meets a token boundary exactly (`a .*b`: the 'a'
+    token must have a successor and the gap starts at that successor's
+    first char). Empty edges come only from literal spaces (edge dots
+    were folded into the gap or stripped as guards), so the head/tail-
+    empty flags are UNIFORM across a part's variants — enforced here.
+    Returns None (→ scan fallback) on any unsupported part, a part with
+    no required fragment, or when the variant-choice product exceeds
     _MAX_GAP_COMBOS."""
     out, combos = [], 1
     for part in parts:
@@ -636,7 +644,10 @@ def _gap_part_variants(parts: list[str]):
             vs = variants(part)
         except ValueError:
             return None
-        if not vs or any("" in frags for frags in vs):
+        if not vs or any(not any(f != "" for f in frags) for frags in vs):
+            return None
+        flags = {(frags[0] == "", frags[-1] == "") for frags in vs}
+        if len(flags) != 1:
             return None
         combos *= len(vs)
         if combos > _MAX_GAP_COMBOS:
@@ -691,21 +702,42 @@ def detect_gaps(pattern: str):
     parts[0] = parts[0][head:]
     if tail:
         parts[-1] = parts[-1][:-tail]
-    if _gap_part_variants(parts) is None:
+    pvars = _gap_part_variants(parts)
+    if pvars is None:
         return None
-    return parts, [m.group(1) == "+" for m in ms], head, tail
+    pluses = [m.group(1) == "+" for m in ms]
+    # boundary-exact edges (empty edge fragments, uniform per part):
+    # a `.+` gap adjacent to one would need to know whether the
+    # neighboring match starts/ends flush with the shared boundary —
+    # char-level information the positional plane doesn't carry; a dot
+    # guard on the same side as a boundary-exact chain edge likewise
+    # needs the neighbor token's length. Both fall to the scan.
+    hE = [vs[0][0] == "" for vs in pvars]
+    tE = [vs[0][-1] == "" for vs in pvars]
+    if any(p and (tE[i] or hE[i + 1]) for i, p in enumerate(pluses)):
+        return None
+    if (head and hE[0]) or (tail and tE[-1]):
+        return None
+    return parts, pluses, head, tail
 
 
 def _part_slots(frags: tuple[str, ...]):
-    """(offset, term-regex, gram-run) per fragment of one part variant —
-    same anchoring as _slot_regexes (suffix / whole / prefix / lone
-    unanchored); every offset 0..len(frags)-1 is present because edge
-    fragments are nonempty (_gap_part_variants). Invariants the merge
-    in _gap_slot_groups relies on: the FIRST slot's regex never starts
-    with '^' and the LAST slot's never ends with '$'."""
+    """(offset, term-regex, gram-run) per NONEMPTY fragment of one part
+    variant — same anchoring as _slot_regexes (suffix / whole / prefix /
+    lone unanchored; an empty EDGE fragment makes its real neighbor a
+    middle-like anchored fragment, e.g. ('a','') → 'a$': the literal
+    space after 'a' forces it to the token end). Offsets number the REAL
+    tokens 0..L-1. Invariants the merge in _gap_slot_groups relies on
+    (merges never happen across boundary-exact edges — detect_gaps/
+    forbidden masks): the first slot of a non-head-empty part never
+    starts with '^' and the last slot of a non-tail-empty part never
+    ends with '$'."""
     k = len(frags) - 1
+    h_empty = frags[0] == ""
     slots = []
     for j, f in enumerate(frags):
+        if f == "":
+            continue
         if k == 0:
             rx = f
         elif j == 0:
@@ -714,26 +746,36 @@ def _part_slots(frags: tuple[str, ...]):
             rx = "^" + f
         else:
             rx = "^" + f + "$"
-        slots.append((j, rx, required_run_from_units(_units(f))))
+        slots.append((j - h_empty, rx, required_run_from_units(_units(f))))
     return slots
+
+
+def _part_len(frags: tuple[str, ...]) -> int:
+    """Real-token count of a part variant (empty edges excluded)."""
+    return len(frags) - (frags[0] == "") - (frags[-1] == "")
 
 
 def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
     """Token-slot groups for one (variant-choice, merge-mask): each
-    group is (slots, L), slots = [(offset, term-regex, gram-run)] over
-    offsets 0..L-1. A merged gap joins the accumulated group's LAST slot
-    to the next part's FIRST slot inside one term regex — `last + .*/.+
-    + first` is anchor-exact by the _part_slots invariants (the gap
-    consumes only in-token chars of the shared boundary token) — and
-    the next part's remaining slots shift by L-1. The merged slot's
-    gram-run is the most selective constituent run (a term matching the
-    merged regex contains a match of every constituent)."""
+    group is (slots, L, head_empty, tail_empty), slots = [(offset,
+    term-regex, gram-run)] over real-token offsets 0..L-1. A merged gap
+    joins the accumulated group's LAST slot to the next part's FIRST
+    slot inside one term regex — `last + .*/.+ + first` is anchor-exact
+    by the _part_slots invariants (the gap consumes only in-token chars
+    of the shared boundary token) — and the next part's remaining slots
+    shift by L-1. The merged slot's gram-run is the most selective
+    constituent run (a term matching the merged regex contains a match
+    of every constituent). head_empty/tail_empty carry the group's
+    boundary-exact edges (first part's head, last part's tail); callers
+    never set a merge bit on a gap adjacent to one."""
     groups = []
     slots = list(_part_slots(pvar[0]))
-    L = len(pvar[0])
+    L = _part_len(pvar[0])
+    hE = pvar[0][0] == ""
+    tE = pvar[0][-1] == ""
     for i, plus in enumerate(pluses):
         nxt = _part_slots(pvar[i + 1])
-        nL = len(pvar[i + 1])
+        nL = _part_len(pvar[i + 1])
         if (mask >> i) & 1:  # gap i merged: boundary token shared
             gap = ".+" if plus else ".*"
             _, lrx, lrun = slots[-1]
@@ -745,9 +787,10 @@ def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
             )
             L += nL - 1
         else:
-            groups.append((slots, L))
-            slots, L = list(nxt), nL
-    groups.append((slots, L))
+            groups.append((slots, L, hE, tE))
+            slots, L, hE = list(nxt), nL, pvar[i + 1][0] == ""
+        tE = pvar[i + 1][-1] == ""
+    groups.append((slots, L, hE, tE))
     return groups
 
 
@@ -832,31 +875,50 @@ def _gapk_docs(
             .select("doc_id", "a")
         )
 
-    def head_starts(slots, L: int) -> DataFrame:
-        if not head:
-            return starts_of(slots)
-        return (
-            starts_of(slots)
-            .filter(F.col("a") >= 1)
-            .unionByName(starts_of(g_head(slots)))
-        )
+    def starts_c(group) -> DataFrame:
+        # boundary-exact edges are REQUIRED constraints: a head-empty
+        # group needs a predecessor token (a ≥ 1), a tail-empty group a
+        # successor token (a + L ≤ dl − 1, the same cap the tail guard
+        # uses)
+        slots, L, hE, tE = group
+        df = starts_of(slots)
+        if hE:
+            df = df.filter(F.col("a") >= 1)
+        if tE:
+            df = cap_tail(df, L)
+        return df
 
-    def tail_starts(slots, L: int) -> DataFrame:
+    def head_starts(group) -> DataFrame:
+        if not head:  # detect_gaps: head guard ⇒ group 0 not head-empty
+            return starts_c(group)
+        slots, L, hE, tE = group
+        base = starts_c(group).filter(F.col("a") >= 1)
+        guarded = starts_of(g_head(slots))
+        if tE:
+            guarded = cap_tail(guarded, L)
+        return base.unionByName(guarded)
+
+    def tail_starts(group) -> DataFrame:
         if not tail:
-            return starts_of(slots)
-        return cap_tail(starts_of(slots), L).unionByName(
-            starts_of(g_tail(slots))
-        )
+            return starts_c(group)
+        slots, L, hE, tE = group
+        base = cap_tail(starts_c(group), L)
+        guarded = starts_of(g_tail(slots))
+        if hE:
+            guarded = guarded.filter(F.col("a") >= 1)
+        return base.unionByName(guarded)
 
-    def single_group_docs(slots, L: int) -> DataFrame:
+    def single_group_docs(group) -> DataFrame:
+        slots, L, hE, tE = group
         if not head and not tail:
-            if len(slots) == 1:  # docs plane suffices: no positions
+            if len(slots) == 1 and not hE and not tE:
+                # docs plane suffices: no positions decode
                 _, rx, run = slots[0]
                 return engine._docs_for_hashes(cand(rx, run)).select(
                     "doc_id"
                 )
-            return starts_of(slots).select("doc_id")
-        a = starts_of(slots)
+            return starts_c(group).select("doc_id")
+        a = starts_c(group)
         if head:
             a = a.filter(F.col("a") >= 1)
         if tail:
@@ -864,12 +926,12 @@ def _gapk_docs(
         d = a.select("doc_id")
         if head:
             b = starts_of(g_head(slots))
-            if tail:
+            if tE or tail:
                 b = cap_tail(b, L)
             d = d.union(b.select("doc_id"))
         if tail:
             c = starts_of(g_tail(slots))
-            if head:
+            if hE or head:
                 c = c.filter(F.col("a") >= 1)
             d = d.union(c.select("doc_id"))
             if head:
@@ -880,30 +942,37 @@ def _gapk_docs(
 
     result: DataFrame | None = None
     for pvar in product(*pvars):
+        # merge bits are invalid on gaps whose boundary is exact (an
+        # empty edge consumes the inter-token space — the parts cannot
+        # share a token)
+        forbidden = 0
+        for i in range(len(pluses)):
+            if pvar[i][-1] == "" or pvar[i + 1][0] == "":
+                forbidden |= 1 << i
         for mask in range(1 << len(pluses)):
+            if mask & forbidden:
+                continue
             groups = _gap_slot_groups(pvar, pluses, mask)
             if len(groups) == 1:
-                d = single_group_docs(*groups[0])
+                d = single_group_docs(groups[0])
             else:
-                s0, L0 = groups[0]
                 e = (
-                    head_starts(s0, L0)
+                    head_starts(groups[0])
                     .groupBy("doc_id")
                     .agg(F.min("a").alias("e"))
                 )
-                prev_l = L0
-                for slots, L in groups[1:-1]:
+                prev_l = groups[0][1]
+                for g in groups[1:-1]:
                     e = (
-                        starts_of(slots)
+                        starts_c(g)
                         .join(e, "doc_id")
                         .filter(F.col("a") >= F.col("e") + prev_l)
                         .groupBy("doc_id")
                         .agg(F.min("a").alias("e"))
                     )
-                    prev_l = L
-                sl, Ll = groups[-1]
+                    prev_l = g[1]
                 e = (
-                    tail_starts(sl, Ll)
+                    tail_starts(groups[-1])
                     .join(e, "doc_id")
                     .filter(F.col("a") >= F.col("e") + prev_l)
                     .groupBy("doc_id")

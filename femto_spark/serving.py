@@ -821,6 +821,11 @@ class LocalSearcher:
                 out[doc] = np.union1d(out[doc], p) if doc in out else p
             return out
 
+        def pos_ge1(mp: dict) -> dict:
+            return {
+                doc: q for doc, p in mp.items() if (q := p[p >= 1]).size
+            }
+
         def cap_tail(mp: dict, L: int) -> dict:
             dls = self._doc_dls(set(mp))
             return {
@@ -829,45 +834,53 @@ class LocalSearcher:
                 if (q := p[p <= dls.get(doc, 0) - 1 - L]).size
             }
 
-        def head_starts(slots, L: int):
+        def starts_c(group):
+            # boundary-exact edges are REQUIRED constraints (see the
+            # Spark plane): head-empty ⇒ a ≥ 1, tail-empty ⇒ successor
+            # token exists
+            slots, L, hE, tE = group
+            m = starts_of(slots)
+            if hE:
+                m = pos_ge1(m)
+            if tE:
+                m = cap_tail(m, L)
+            return m
+
+        def head_starts(group):
             if not head:
-                return starts_of(slots)
-            base = {
-                doc: q
-                for doc, p in starts_of(slots).items()
-                if (q := p[p >= 1]).size
-            }
-            return merged(base, starts_of(g_head(slots)))
+                return starts_c(group)
+            slots, L, hE, tE = group
+            guarded = starts_of(g_head(slots))
+            if tE:
+                guarded = cap_tail(guarded, L)
+            return merged(pos_ge1(starts_c(group)), guarded)
 
-        def tail_starts(slots, L: int):
+        def tail_starts(group):
             if not tail:
-                return starts_of(slots)
-            return merged(
-                cap_tail(starts_of(slots), L), starts_of(g_tail(slots))
-            )
+                return starts_c(group)
+            slots, L, hE, tE = group
+            guarded = starts_of(g_tail(slots))
+            if hE:
+                guarded = pos_ge1(guarded)
+            return merged(cap_tail(starts_c(group), L), guarded)
 
-        def single_docs(slots, L: int) -> set[int]:
+        def single_docs(group) -> set[int]:
+            slots, L, hE, tE = group
             if not head and not tail:
-                return set(starts_of(slots))
-            a = starts_of(slots)
+                return set(starts_c(group))
+            a = starts_c(group)
             if head:
-                a = {
-                    doc: q for doc, p in a.items() if (q := p[p >= 1]).size
-                }
+                a = pos_ge1(a)
             if tail:
                 a = cap_tail(a, L)
             docs = set(a)
             if head:
                 b = starts_of(g_head(slots))
-                docs |= set(cap_tail(b, L) if tail else b)
+                docs |= set(cap_tail(b, L) if (tE or tail) else b)
             if tail:
                 c = starts_of(g_tail(slots))
-                if head:
-                    c = {
-                        doc: q
-                        for doc, p in c.items()
-                        if (q := p[p >= 1]).size
-                    }
+                if hE or head:
+                    c = pos_ge1(c)
                 docs |= set(c)
                 if head:
                     docs |= set(starts_of(g_tail(g_head(slots))))
@@ -875,17 +888,23 @@ class LocalSearcher:
 
         result: set[int] = set()
         for pvar in product(*pvars):
+            forbidden = 0
+            for i in range(len(pluses)):
+                if pvar[i][-1] == "" or pvar[i + 1][0] == "":
+                    forbidden |= 1 << i
             for mask in range(1 << len(pluses)):
+                if mask & forbidden:
+                    continue
                 groups = _gap_slot_groups(pvar, pluses, mask)
                 if len(groups) == 1:
-                    result |= single_docs(*groups[0])
+                    result |= single_docs(groups[0])
                     continue
                 maps = (
-                    [head_starts(*groups[0])]
-                    + [starts_of(s) for s, _ in groups[1:-1]]
-                    + [tail_starts(*groups[-1])]
+                    [head_starts(groups[0])]
+                    + [starts_c(g) for g in groups[1:-1]]
+                    + [tail_starts(groups[-1])]
                 )
-                lens = [L for _, L in groups]
+                lens = [g[1] for g in groups]
                 common = set(maps[0])
                 for mp in maps[1:]:
                     common &= mp.keys()

@@ -133,6 +133,12 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         ".+erge fas.*tab", "data tab.*le sc.+", "a b.+c d.*e",
         # interior gap-adjacent dots fold into the gap (`.*.`≡`..*`≡`.+`)
         "a.*.b", "a..*b", "mer.*.fas", "ta.+.*ble", "a.*.*b",
+        # boundary-exact edges: a literal space adjacent to a `.*` gap
+        # (empty edge fragment — successor/predecessor-token constraint,
+        # merge mask forbidden on that gap)
+        "able .*sc", "a .*b", "a.* b", "erge .*fas", " able.*sc",
+        "merge .*table", "data tab.* le", "a b .*c", "ta.le .*fast",
+        " a .*b ", "e .*a .*t", "able.*sc ", "merge fast.* sc",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -257,6 +263,9 @@ def test_infix_multitoken_gap_adversarial(spark, tmp_path):
         ".+ab cd.*ef gh", "ab cd.*ef gh.+", ".+b cd.*ef g.+",
         "ab c..*ef", "ab cd.*e. g.", "a. cd.+ef", "cd.*ef",
         "ab cd.*ef.*gh", "b c.*f g.*h",
+        # boundary-exact edges against the same streams
+        "ab .*ef", "cd .*gh", "b .*ef gh", "ab cd .*gh", "cd.* ef",
+        " cd.*ef", "cd.*ef ", "ab .*cd .*ef",
     ]:
         want = sorted(d for d, s in streams.items() if re.search(pat, s))
         got = [r["doc_id"] for r in eng.infix_docs(pat).collect()]
@@ -274,9 +283,10 @@ def test_infix_rejects_unsupported(engine):
         # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
         # positional plane can't see the first/last token's length)
         ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
-        # min-2-char interior gaps / gaps meeting a token boundary
-        # exactly (char-level gap lengths the token plane can't carry)
-        "a.*..b", "a.+.+b", "a .*b", "a.* b",
+        # min-2-char interior gaps, `.+` flush against a boundary-exact
+        # edge, double boundary spaces (char-level info the token
+        # positional plane can't carry)
+        "a.*..b", "a.+.+b", "a .+b", "a.+ b", "a  .*b", ".+ a.*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

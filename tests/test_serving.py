@@ -143,6 +143,8 @@ def test_infix_matches_engine(searcher, engine):
         # multi-token gap parts + interior gap-dot folding
         "erge fas.*tab", "merge fast.*scan", "a b.*c d", "ta.le.*fast",
         "mer.*tab le.*fas", ".+erge fas.*tab", "a.*.b", "a..*b",
+        # boundary-exact edges (space adjacent to a `.*` gap)
+        "able .*sc", "a .*b", "a.* b", " a .*b ", "e .*a .*t",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
