@@ -428,10 +428,23 @@ class SearchEngine:
         """Index rows whose term_hash appears in `cand` — a semi-join, the
         distributed replacement for collect()+isin() (a broad pattern at a
         10^9-term vocabulary would otherwise ship millions of terms to the
-        driver; FEMTO's REGEXP is likewise index-side, server.c:1656)."""
-        return self._index.join(
-            cand.select("term_hash").distinct(), "term_hash", "semi"
+        driver; FEMTO's REGEXP is likewise index-side, server.c:1656).
+        The candidate side carries its derived `bucket` (= pmod(term_hash,
+        n_buckets), the write-side partition key) so dynamic partition
+        pruning skips every non-candidate bucket at the scan — a narrow
+        gram-pruned pattern reads a handful of partitions instead of the
+        whole index."""
+        keys = (
+            cand.select("term_hash")
+            .distinct()
+            .withColumn(
+                "bucket",
+                F.pmod(F.col("term_hash"), F.lit(self.n_buckets)).cast(
+                    "int"
+                ),
+            )
         )
+        return self._index.join(keys, ["bucket", "term_hash"], "semi")
 
     def _docs_for_hashes(self, cand: DataFrame) -> DataFrame:
         """Distinct doc_ids of every posting row matching `cand` hashes."""

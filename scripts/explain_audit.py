@@ -329,6 +329,28 @@ def main() -> int:
         ],
     )
 
+    # 12. multi-token gap chain (phrase-gap-phrase): slot anchor joins
+    # stay semi-joins over bucket-pruned positions reads — no
+    # CartesianProduct, no corpus scan, one gram-pruned vocab rlike per
+    # distinct slot regex
+    check(
+        "infix gap chain `erge fas.*tab` — anchor semi-joins, no corpus scan",
+        eng.infix_docs("erge fas.*tab"),
+        [
+            ("no CartesianProduct", lambda p: "CartesianProduct" not in p),
+            ("slot anchor joins are LeftSemi", lambda p: "LeftSemi" in p),
+            (
+                "dynamic bucket pruning on the index scans (DPP from the"
+                " candidate semi-join)",
+                lambda p: "dynamicpruning" in p.lower(),
+            ),
+            (
+                "no corpus text column in any scan",
+                lambda p: "text#" not in p.split("ReadSchema")[-1],
+            ),
+        ],
+    )
+
     # write report
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
