@@ -304,6 +304,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_boundary"] = lambda s, d: _engine(s, d).infix_docs(
         "merge fast.* sc|erge .*fas ta"
     )
+    # DOUBLE-flush gaps (spaces on BOTH sides of `.*`/`.+`): a full
+    # token must sit between the groups — the two consumed spaces are
+    # distinct chars (query/infix detect_gaps/_gapk_docs step threshold)
+    q["fts_regex_infix_flushgap"] = lambda s, d: _engine(s, d).infix_docs(
+        "data .+ table|able .* sc"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -607,6 +613,11 @@ WHERE regexp_matches(s, 'merge fast.* sc|erge .*fas ta') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'erge fas.*tab|data tab.*le sc') ORDER BY doc_id"""
+
+    o["fts_regex_infix_flushgap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'data .+ table|able .* sc') ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}
 SELECT DISTINCT doc_id

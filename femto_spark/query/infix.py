@@ -55,12 +55,14 @@ behind thread through the chain as positional edge guards, exact for
 runs ≤ _MAX_EDGE_GUARD (see detect_gaps). A literal space adjacent to
 a `.*` gap (`a .*b` — the gap meets a token boundary exactly) is an
 empty edge fragment: a required successor/predecessor-token constraint
-with the merge mask forbidden on that gap. Remaining scan-fallback
-residue: min-2-char interior gaps (`.+.+`, `.*..`), `.+` adjacent to a
-boundary-exact edge (`a .+b` — needs char-level flushness), edge
-guards longer than _MAX_EDGE_GUARD or on the same side as a
-boundary-exact chain edge, and the data-dependent interior-repetition
-caps above.
+with the merge mask forbidden on that gap (a DOUBLE-flush gap — spaces
+on both sides, `a .* b` / `a .+ b` — additionally forces a full token
+between the groups: the two consumed spaces are distinct chars).
+Remaining scan-fallback residue: min-2-char interior gaps (`.+.+`,
+`.*..`), `.+` flush against a SINGLE boundary-exact edge (`a .+b` —
+needs char-level flushness), edge guards longer than _MAX_EDGE_GUARD
+or on the same side as a boundary-exact chain edge, and the
+data-dependent interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -714,7 +716,11 @@ def detect_gaps(pattern: str):
     # needs the neighbor token's length. Both fall to the scan.
     hE = [vs[0][0] == "" for vs in pvars]
     tE = [vs[0][-1] == "" for vs in pvars]
-    if any(p and (tE[i] or hE[i + 1]) for i, p in enumerate(pluses)):
+    # a SINGLE flush side on a `.+` gap needs char-level flushness (did
+    # the neighbor's match end/start exactly at the shared boundary?);
+    # a DOUBLE-flush `.+` gap is fine — the two spaces are distinct
+    # chars, so a full token must sit between them and feeds the `.+`
+    if any(p and (tE[i] != hE[i + 1]) for i, p in enumerate(pluses)):
         return None
     if (head and hE[0]) or (tail and tE[-1]):
         return None
@@ -956,25 +962,33 @@ def _gapk_docs(
             if len(groups) == 1:
                 d = single_group_docs(groups[0])
             else:
+                # step threshold: a' ≥ e + L, plus 1 across a DOUBLE-
+                # flush boundary (prev tail-empty AND next head-empty:
+                # the two consumed spaces are distinct chars, so a full
+                # token must sit between the groups)
+                def step(prev, g):
+                    return prev[1] + (1 if prev[3] and g[2] else 0)
+
                 e = (
                     head_starts(groups[0])
                     .groupBy("doc_id")
                     .agg(F.min("a").alias("e"))
                 )
-                prev_l = groups[0][1]
+                prev = groups[0]
                 for g in groups[1:-1]:
                     e = (
                         starts_c(g)
                         .join(e, "doc_id")
-                        .filter(F.col("a") >= F.col("e") + prev_l)
+                        .filter(F.col("a") >= F.col("e") + step(prev, g))
                         .groupBy("doc_id")
                         .agg(F.min("a").alias("e"))
                     )
-                    prev_l = g[1]
+                    prev = g
+                g = groups[-1]
                 e = (
-                    tail_starts(groups[-1])
+                    tail_starts(g)
                     .join(e, "doc_id")
-                    .filter(F.col("a") >= F.col("e") + prev_l)
+                    .filter(F.col("a") >= F.col("e") + step(prev, g))
                     .groupBy("doc_id")
                     .agg(F.min("a").alias("e"))
                 )

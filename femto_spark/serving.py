@@ -904,15 +904,22 @@ class LocalSearcher:
                     + [starts_c(g) for g in groups[1:-1]]
                     + [tail_starts(groups[-1])]
                 )
-                lens = [g[1] for g in groups]
+                # step threshold: L of the previous group, plus 1 across
+                # a DOUBLE-flush boundary (two distinct consumed spaces
+                # force a full token between the groups)
+                steps = [
+                    groups[i][1]
+                    + (1 if groups[i][3] and groups[i + 1][2] else 0)
+                    for i in range(len(groups) - 1)
+                ]
                 common = set(maps[0])
                 for mp in maps[1:]:
                     common &= mp.keys()
                 for doc in common - result:
                     e = int(maps[0][doc].min())
                     ok = True
-                    for mp, prev_l in zip(maps[1:], lens[:-1]):
-                        later = mp[doc][mp[doc] >= e + prev_l]
+                    for mp, stp in zip(maps[1:], steps):
+                        later = mp[doc][mp[doc] >= e + stp]
                         if later.size == 0:
                             ok = False
                             break

@@ -139,6 +139,10 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "able .*sc", "a .*b", "a.* b", "erge .*fas", " able.*sc",
         "merge .*table", "data tab.* le", "a b .*c", "ta.le .*fast",
         " a .*b ", "e .*a .*t", "able.*sc ", "merge fast.* sc",
+        # DOUBLE-flush gaps (spaces on both sides): a full token must
+        # sit between the groups — `.+` is fine here, the token feeds it
+        "a .* b", "a .+ b", "able .* sc", "able .+ sc", "e .* a .* t",
+        "data .+ table", "a b .* c d", "merge .+ fast",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",

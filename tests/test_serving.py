@@ -145,6 +145,7 @@ def test_infix_matches_engine(searcher, engine):
         "mer.*tab le.*fas", ".+erge fas.*tab", "a.*.b", "a..*b",
         # boundary-exact edges (space adjacent to a `.*` gap)
         "able .*sc", "a .*b", "a.* b", " a .*b ", "e .*a .*t",
+        "a .* b", "a .+ b", "able .* sc", "data .+ table",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
