@@ -310,6 +310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_flushgap"] = lambda s, d: _engine(s, d).infix_docs(
         "data .+ table|able .* sc"
     )
+    # SINGLE-flush `.+` gaps (space on exactly one side): adjacent
+    # placement needs a char-level margin inside the boundary token —
+    # the two-frontier greedy chain (query/infix._gap_kinds A/B)
+    q["fts_regex_infix_plusflush"] = lambda s, d: _engine(s, d).infix_docs(
+        "data .+table|merge.+ fast"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -618,6 +624,11 @@ WHERE regexp_matches(s, 'erge fas.*tab|data tab.*le sc') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'data .+ table|able .* sc') ORDER BY doc_id"""
+
+    o["fts_regex_infix_plusflush"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'data .+table|merge.+ fast') ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}
 SELECT DISTINCT doc_id

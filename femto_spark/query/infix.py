@@ -58,11 +58,16 @@ empty edge fragment: a required successor/predecessor-token constraint
 with the merge mask forbidden on that gap (a DOUBLE-flush gap — spaces
 on both sides, `a .* b` / `a .+ b` — additionally forces a full token
 between the groups: the two consumed spaces are distinct chars).
-Remaining scan-fallback residue: min-2-char interior gaps (`.+.+`,
-`.*..`), `.+` flush against a SINGLE boundary-exact edge (`a .+b` —
-needs char-level flushness), edge guards longer than _MAX_EDGE_GUARD
-or on the same side as a boundary-exact chain edge, and the
-data-dependent interior-repetition caps above.
+SINGLE-flush `.+` gaps (`a .+b` / `a.+ b`) resolve through MARGIN
+starts: placing the next group adjacent to the previous one is valid
+only when the match leaves ≥1 char of head/tail margin inside the
+boundary token, so the greedy chain carries TWO frontiers per doc —
+min plain start and min tail-margin start (_gap_kinds, kinds A/B; a
+margin start is also a plain start, which keeps the greedy propagation
+complete). Remaining scan-fallback residue: min-2-char interior gaps
+(`.+.+`, `.*..`), edge guards longer than _MAX_EDGE_GUARD or on the
+same side as a boundary-exact chain edge, and the data-dependent
+interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -709,19 +714,12 @@ def detect_gaps(pattern: str):
         return None
     pluses = [m.group(1) == "+" for m in ms]
     # boundary-exact edges (empty edge fragments, uniform per part):
-    # a `.+` gap adjacent to one would need to know whether the
-    # neighboring match starts/ends flush with the shared boundary —
-    # char-level information the positional plane doesn't carry; a dot
-    # guard on the same side as a boundary-exact chain edge likewise
-    # needs the neighbor token's length. Both fall to the scan.
+    # single-flush `.+` gaps resolve through margin starts (_gap_kinds
+    # A/B, two-frontier chain); a dot GUARD on the same side as a
+    # boundary-exact chain edge still needs the neighbor token's length
+    # — that falls to the scan.
     hE = [vs[0][0] == "" for vs in pvars]
     tE = [vs[0][-1] == "" for vs in pvars]
-    # a SINGLE flush side on a `.+` gap needs char-level flushness (did
-    # the neighbor's match end/start exactly at the shared boundary?);
-    # a DOUBLE-flush `.+` gap is fine — the two spaces are distinct
-    # chars, so a full token must sit between them and feeds the `.+`
-    if any(p and (tE[i] != hE[i + 1]) for i, p in enumerate(pluses)):
-        return None
     if (head and hE[0]) or (tail and tE[-1]):
         return None
     return parts, pluses, head, tail
@@ -773,8 +771,11 @@ def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
     constituent run (a term matching the merged regex contains a match
     of every constituent). head_empty/tail_empty carry the group's
     boundary-exact edges (first part's head, last part's tail); callers
-    never set a merge bit on a gap adjacent to one."""
-    groups = []
+    never set a merge bit on a gap adjacent to one. Returns (groups,
+    links) — links[i] is the `.+`-flag of the NON-MERGED gap connecting
+    groups i and i+1 (the chain evaluators classify each boundary from
+    it plus the flush flags)."""
+    groups, links = [], []
     slots = list(_part_slots(pvar[0]))
     L = _part_len(pvar[0])
     hE = pvar[0][0] == ""
@@ -794,10 +795,48 @@ def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
             L += nL - 1
         else:
             groups.append((slots, L, hE, tE))
+            links.append(plus)
             slots, L, hE = list(nxt), nL, pvar[i + 1][0] == ""
         tE = pvar[i + 1][-1] == ""
     groups.append((slots, L, hE, tE))
-    return groups
+    return groups, links
+
+
+def _gap_kinds(groups, links):
+    """Classify each group boundary of a chain. Returns a list of
+    (kind, n) pairs, one per consecutive group pair (prev length L):
+
+      ("plain", step) — threshold a' ≥ e + step: step = L, +1 across a
+        DOUBLE-flush boundary (prev tail-empty AND next head-empty: the
+        two consumed spaces are distinct chars, so a full token must
+        sit between the groups);
+      ("A", L) — a `.+` gap flush ONLY on the prev side (`a .+b`): an
+        adjacent next-group start (a' = e + L) is valid only when its
+        match leaves ≥1 char of HEAD MARGIN inside its first token (the
+        gap's chars); a' ≥ e + L + 1 always has the full intermediate
+        token;
+      ("B", L) — a `.+` gap flush ONLY on the next side (`a.+ b`): an
+        adjacent placement is valid only from a prev start whose match
+        leaves ≥1 char of TAIL MARGIN inside its last token — the chain
+        carries a second frontier et = min tail-margin start, and the
+        threshold is min(e + L + 1, et + L).
+
+    A margin start is also a plain start (the margin regex match
+    contains a plain match at the same anchor), so propagating the two
+    per-doc minima greedily stays complete: any feasible chain's start
+    aᵢ dominates the corresponding frontier by induction."""
+    kinds = []
+    for i in range(len(groups) - 1):
+        p, n = groups[i], groups[i + 1]
+        if p[3] and n[2]:
+            kinds.append(("plain", p[1] + 1))
+        elif links[i] and p[3]:
+            kinds.append(("A", p[1]))
+        elif links[i] and n[2]:
+            kinds.append(("B", p[1]))
+        else:
+            kinds.append(("plain", p[1]))
+    return kinds
 
 
 def _gapk_docs(
@@ -874,6 +913,23 @@ def _gapk_docs(
         (oL, rxL, runL) = slots[-1]
         return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
+    def vslots(slots, hm: bool, tm: bool):
+        # margin slot variants for single-flush `.+` gaps (_gap_kinds
+        # A/B): a HEAD margin requires ≥1 char before the first slot's
+        # match inside its token, a TAIL margin ≥1 char after the last
+        # slot's match. The _part_slots invariants guarantee the
+        # modified side is unanchored (A ⇒ next part not head-empty,
+        # B ⇒ prev part not tail-empty), so prepending/appending a dot
+        # expresses the margin exactly; the gram run is unchanged (a
+        # margin match contains a plain match).
+        if hm:
+            (o0, rx0, run0) = slots[0]
+            slots = [(o0, "." + rx0, run0)] + list(slots[1:])
+        if tm:
+            (oL, rxL, runL) = slots[-1]
+            slots = list(slots[:-1]) + [(oL, rxL + ".", runL)]
+        return slots
+
     def cap_tail(df: DataFrame, L: int) -> DataFrame:
         return (
             df.join(engine._docs, "doc_id")
@@ -881,35 +937,35 @@ def _gapk_docs(
             .select("doc_id", "a")
         )
 
-    def starts_c(group) -> DataFrame:
+    def starts_c(group, hm: bool = False, tm: bool = False) -> DataFrame:
         # boundary-exact edges are REQUIRED constraints: a head-empty
         # group needs a predecessor token (a ≥ 1), a tail-empty group a
         # successor token (a + L ≤ dl − 1, the same cap the tail guard
         # uses)
         slots, L, hE, tE = group
-        df = starts_of(slots)
+        df = starts_of(vslots(slots, hm, tm))
         if hE:
             df = df.filter(F.col("a") >= 1)
         if tE:
             df = cap_tail(df, L)
         return df
 
-    def head_starts(group) -> DataFrame:
+    def head_starts(group, tm: bool = False) -> DataFrame:
         if not head:  # detect_gaps: head guard ⇒ group 0 not head-empty
-            return starts_c(group)
+            return starts_c(group, tm=tm)
         slots, L, hE, tE = group
-        base = starts_c(group).filter(F.col("a") >= 1)
-        guarded = starts_of(g_head(slots))
+        base = starts_c(group, tm=tm).filter(F.col("a") >= 1)
+        guarded = starts_of(g_head(vslots(slots, False, tm)))
         if tE:
             guarded = cap_tail(guarded, L)
         return base.unionByName(guarded)
 
-    def tail_starts(group) -> DataFrame:
+    def tail_starts(group, hm: bool = False) -> DataFrame:
         if not tail:
-            return starts_c(group)
+            return starts_c(group, hm=hm)
         slots, L, hE, tE = group
-        base = cap_tail(starts_c(group), L)
-        guarded = starts_of(g_tail(slots))
+        base = cap_tail(starts_c(group, hm=hm), L)
+        guarded = starts_of(g_tail(vslots(slots, hm, False)))
         if hE:
             guarded = guarded.filter(F.col("a") >= 1)
         return base.unionByName(guarded)
@@ -958,41 +1014,91 @@ def _gapk_docs(
         for mask in range(1 << len(pluses)):
             if mask & forbidden:
                 continue
-            groups = _gap_slot_groups(pvar, pluses, mask)
+            groups, links = _gap_slot_groups(pvar, pluses, mask)
             if len(groups) == 1:
                 d = single_group_docs(groups[0])
             else:
-                # step threshold: a' ≥ e + L, plus 1 across a DOUBLE-
-                # flush boundary (prev tail-empty AND next head-empty:
-                # the two consumed spaces are distinct chars, so a full
-                # token must sit between the groups)
-                def step(prev, g):
-                    return prev[1] + (1 if prev[3] and g[2] else 0)
+                # two-frontier greedy chain (_gap_kinds): state carries
+                # e = min valid start, and — when the NEXT boundary is
+                # kind B — et = min valid TAIL-MARGIN start (null when
+                # the doc has none)
+                kinds = _gap_kinds(groups, links)
+                need_tm = [k[0] == "B" for k in kinds]
 
-                e = (
-                    head_starts(groups[0])
-                    .groupBy("doc_id")
-                    .agg(F.min("a").alias("e"))
-                )
-                prev = groups[0]
-                for g in groups[1:-1]:
-                    e = (
-                        starts_c(g)
-                        .join(e, "doc_id")
-                        .filter(F.col("a") >= F.col("e") + step(prev, g))
-                        .groupBy("doc_id")
-                        .agg(F.min("a").alias("e"))
+                def agg_min(df: DataFrame, col: str) -> DataFrame:
+                    return df.groupBy("doc_id").agg(
+                        F.min("a").alias(col)
                     )
-                    prev = g
-                g = groups[-1]
-                e = (
-                    tail_starts(g)
-                    .join(e, "doc_id")
-                    .filter(F.col("a") >= F.col("e") + step(prev, g))
-                    .groupBy("doc_id")
-                    .agg(F.min("a").alias("e"))
-                )
-                d = e.select("doc_id")
+
+                st = agg_min(head_starts(groups[0]), "e")
+                if need_tm[0]:
+                    st = st.join(
+                        agg_min(head_starts(groups[0], tm=True), "et"),
+                        "doc_id",
+                        "left",
+                    )
+                d = None
+                for i in range(1, len(groups)):
+                    kind, n = kinds[i - 1]
+                    g = groups[i]
+                    last = i == len(groups) - 1
+                    tm_next = (not last) and need_tm[i]
+
+                    def sget(hm=False, tm=False, g=g, last=last):
+                        if last:  # no outgoing gap ⇒ tm never needed
+                            return tail_starts(g, hm=hm)
+                        return starts_c(g, hm=hm, tm=tm)
+
+                    def passed(df, thr, st=st):
+                        return (
+                            df.join(st, "doc_id")
+                            .filter(F.col("a") >= thr)
+                            .select("doc_id", "a")
+                        )
+
+                    if kind == "A":
+                        # adjacent placement (a' = e + n) valid only
+                        # for head-margin starts; a' ≥ e + n + 1 always
+                        e_new = passed(
+                            sget(), F.col("e") + (n + 1)
+                        ).unionByName(
+                            passed(sget(hm=True), F.col("e") + n)
+                        )
+                        et_new = (
+                            passed(
+                                sget(tm=True), F.col("e") + (n + 1)
+                            ).unionByName(
+                                passed(
+                                    sget(hm=True, tm=True),
+                                    F.col("e") + n,
+                                )
+                            )
+                            if tm_next
+                            else None
+                        )
+                    else:
+                        if kind == "B":
+                            # least() skips the null et — docs with no
+                            # tail-margin start get the strict bound
+                            thr = F.least(
+                                F.col("e") + (n + 1), F.col("et") + n
+                            )
+                        else:
+                            thr = F.col("e") + n
+                        e_new = passed(sget(), thr)
+                        et_new = (
+                            passed(sget(tm=True), thr)
+                            if tm_next
+                            else None
+                        )
+                    if last:
+                        d = e_new.select("doc_id").distinct()
+                    else:
+                        st = agg_min(e_new, "e")
+                        if tm_next:
+                            st = st.join(
+                                agg_min(et_new, "et"), "doc_id", "left"
+                            )
             result = d if result is None else result.union(d)
     return result
 

@@ -756,9 +756,11 @@ class LocalSearcher:
     ) -> set[int]:
         """Serving form of query/infix._gapk_docs: union over (per-part
         variant choices × 2^k merge masks), each decided by the greedy
-        positional chain (doc matches iff group start positions a₀, a₁,
-        … exist with aᵢ₊₁ ≥ aᵢ + Lᵢ and every slot of each group
-        matching at its offset). Position maps are cached per distinct
+        two-frontier positional chain (doc matches iff group start
+        positions a₀, a₁, … exist satisfying each boundary's _gap_kinds
+        threshold — plain step / head-margin split / tail-margin
+        frontier — with every slot of each group matching at its
+        offset). Position maps are cached per distinct
         slot regex and start maps per slot set, shared across
         combinations. Edge guards (head/tail dot runs ≤ _MAX_EDGE_GUARD,
         see detect_gaps): a head guard admits group-0 starts ≥ 1 plus
@@ -769,7 +771,11 @@ class LocalSearcher:
         import re
         from itertools import product
 
-        from .query.infix import _gap_part_variants, _gap_slot_groups
+        from .query.infix import (
+            _gap_kinds,
+            _gap_part_variants,
+            _gap_slot_groups,
+        )
 
         pvars = _gap_part_variants(parts)
         if pvars is None:  # detect_gaps validated; defensive
@@ -815,6 +821,17 @@ class LocalSearcher:
             (oL, rxL, runL) = slots[-1]
             return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
+        def vslots(slots, hm: bool, tm: bool):
+            # margin variants for single-flush `.+` gaps — see the
+            # Spark plane (query/infix._gapk_docs vslots)
+            if hm:
+                (o0, rx0, run0) = slots[0]
+                slots = [(o0, "." + rx0, run0)] + list(slots[1:])
+            if tm:
+                (oL, rxL, runL) = slots[-1]
+                slots = list(slots[:-1]) + [(oL, rxL + ".", runL)]
+            return slots
+
         def merged(base: dict, extra: dict) -> dict:
             out = dict(base)
             for doc, p in extra.items():
@@ -834,35 +851,35 @@ class LocalSearcher:
                 if (q := p[p <= dls.get(doc, 0) - 1 - L]).size
             }
 
-        def starts_c(group):
+        def starts_c(group, hm: bool = False, tm: bool = False):
             # boundary-exact edges are REQUIRED constraints (see the
             # Spark plane): head-empty ⇒ a ≥ 1, tail-empty ⇒ successor
             # token exists
             slots, L, hE, tE = group
-            m = starts_of(slots)
+            m = starts_of(vslots(slots, hm, tm))
             if hE:
                 m = pos_ge1(m)
             if tE:
                 m = cap_tail(m, L)
             return m
 
-        def head_starts(group):
+        def head_starts(group, tm: bool = False):
             if not head:
-                return starts_c(group)
+                return starts_c(group, tm=tm)
             slots, L, hE, tE = group
-            guarded = starts_of(g_head(slots))
+            guarded = starts_of(g_head(vslots(slots, False, tm)))
             if tE:
                 guarded = cap_tail(guarded, L)
-            return merged(pos_ge1(starts_c(group)), guarded)
+            return merged(pos_ge1(starts_c(group, tm=tm)), guarded)
 
-        def tail_starts(group):
+        def tail_starts(group, hm: bool = False):
             if not tail:
-                return starts_c(group)
+                return starts_c(group, hm=hm)
             slots, L, hE, tE = group
-            guarded = starts_of(g_tail(slots))
+            guarded = starts_of(g_tail(vslots(slots, hm, False)))
             if hE:
                 guarded = pos_ge1(guarded)
-            return merged(cap_tail(starts_c(group), L), guarded)
+            return merged(cap_tail(starts_c(group, hm=hm), L), guarded)
 
         def single_docs(group) -> set[int]:
             slots, L, hE, tE = group
@@ -895,35 +912,86 @@ class LocalSearcher:
             for mask in range(1 << len(pluses)):
                 if mask & forbidden:
                     continue
-                groups = _gap_slot_groups(pvar, pluses, mask)
+                groups, links = _gap_slot_groups(pvar, pluses, mask)
                 if len(groups) == 1:
                     result |= single_docs(groups[0])
                     continue
-                maps = (
-                    [head_starts(groups[0])]
-                    + [starts_c(g) for g in groups[1:-1]]
-                    + [tail_starts(groups[-1])]
-                )
-                # step threshold: L of the previous group, plus 1 across
-                # a DOUBLE-flush boundary (two distinct consumed spaces
-                # force a full token between the groups)
-                steps = [
-                    groups[i][1]
-                    + (1 if groups[i][3] and groups[i + 1][2] else 0)
-                    for i in range(len(groups) - 1)
-                ]
+                # two-frontier greedy chain — the serving form of
+                # query/infix._gapk_docs: e = min valid start, et = min
+                # valid TAIL-MARGIN start (inf when absent), boundary
+                # kinds per _gap_kinds
+                kinds = _gap_kinds(groups, links)
+                need_tm = [k[0] == "B" for k in kinds]
+                n_g = len(groups)
+
+                def sget(i, hm=False, tm=False):
+                    if i == 0:  # group 0 has no incoming gap ⇒ no hm
+                        return head_starts(groups[0], tm=tm)
+                    if i == n_g - 1:  # no outgoing gap ⇒ no tm
+                        return tail_starts(groups[-1], hm=hm)
+                    return starts_c(groups[i], hm=hm, tm=tm)
+
+                maps = [sget(i) for i in range(n_g)]
                 common = set(maps[0])
                 for mp in maps[1:]:
                     common &= mp.keys()
+                _INF = float("inf")
+                mvar_cache: dict[tuple, dict] = {}
+
+                def mmap(i, hm, tm):
+                    key = (i, hm, tm)
+                    if key not in mvar_cache:
+                        mvar_cache[key] = sget(i, hm=hm, tm=tm)
+                    return mvar_cache[key]
+
+                def mmin(i, hm, tm, doc, lo):
+                    q = mmap(i, hm, tm).get(doc)
+                    if q is None:
+                        return _INF
+                    q = q[q >= lo]
+                    return int(q.min()) if q.size else _INF
                 for doc in common - result:
                     e = int(maps[0][doc].min())
+                    et = mmin(0, False, True, doc, 0) if need_tm[0] else _INF
                     ok = True
-                    for mp, stp in zip(maps[1:], steps):
-                        later = mp[doc][mp[doc] >= e + stp]
-                        if later.size == 0:
+                    for i in range(1, n_g):
+                        kind, n = kinds[i - 1]
+                        tm_next = i < n_g - 1 and need_tm[i]
+                        plain = maps[i][doc]
+                        if kind == "A":
+                            # adjacent placement needs a head margin
+                            cand = plain[plain >= e + n + 1]
+                            new_e = min(
+                                int(cand.min()) if cand.size else _INF,
+                                mmin(i, True, False, doc, e + n),
+                            )
+                            new_et = (
+                                min(
+                                    mmin(i, False, True, doc, e + n + 1),
+                                    mmin(i, True, True, doc, e + n),
+                                )
+                                if tm_next
+                                else _INF
+                            )
+                        else:
+                            thr = (
+                                min(e + n + 1, et + n)
+                                if kind == "B"
+                                else e + n
+                            )
+                            cand = plain[plain >= thr]
+                            new_e = (
+                                int(cand.min()) if cand.size else _INF
+                            )
+                            new_et = (
+                                mmin(i, False, True, doc, thr)
+                                if tm_next
+                                else _INF
+                            )
+                        if new_e == _INF:
                             ok = False
                             break
-                        e = int(later.min())
+                        e, et = new_e, new_et
                     if ok:
                         result.add(doc)
         return result

@@ -143,6 +143,11 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         # sit between the groups — `.+` is fine here, the token feeds it
         "a .* b", "a .+ b", "able .* sc", "able .+ sc", "e .* a .* t",
         "data .+ table", "a b .* c d", "merge .+ fast",
+        # SINGLE-flush `.+` gaps: adjacent placement needs a char-level
+        # margin — the two-frontier chain (kinds A/B in _gap_kinds)
+        "a .+b", "a.+ b", "data .+table", "merge.+ fast", "able .+sc",
+        "ab .+a .+b c", "e .+a .*t", "a .*b .+c", ".+a .+b", "a.+ b.+",
+        "erge .+fas", "ta.+ le .+fast",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
