@@ -292,10 +292,10 @@ def test_infix_rejects_unsupported(engine):
         # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
         # positional plane can't see the first/last token's length)
         ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
-        # min-2-char interior gaps, `.+` flush against a boundary-exact
-        # edge, double boundary spaces (char-level info the token
-        # positional plane can't carry)
-        "a.*..b", "a.+.+b", "a .+b", "a.+ b", "a  .*b", ".+ a.*b",
+        # min-2-char interior gaps, double boundary spaces (needs token
+        # lengths the positional plane doesn't carry); single-flush `.+`
+        # (`a .+b`) is SUPPORTED since the two-frontier margin chain
+        "a.*..b", "a.+.+b", "a  .*b", ".+ a.*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)
