@@ -264,7 +264,24 @@ def minhash_signatures(
 
     def _sig_rows(batches):
         """Row-wise path: each input row carries one doc's shingle-hash
-        array; docs never straddle rows, so there is no carry."""
+        array; docs never straddle rows, so there is no carry. The
+        (rows × n_hashes) permutation temporaries are computed in ONE
+        REUSED per-worker buffer (np.multiply/add/remainder with out=,
+        bit-identical uint64 wraparound): three fresh ~64 MB arrays per
+        chunk otherwise dominate the COLD path via first-touch page
+        faults (~30 s on a fresh arena at sf0.1 — CLAUDE.md §5)."""
+        buf = np.empty((0, n_hashes), dtype=np.uint64)
+
+        def perm_min(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
+            nonlocal buf
+            if buf.shape[0] < flat.size:
+                buf = np.empty((flat.size, n_hashes), dtype=np.uint64)
+            m = buf[: flat.size]
+            np.multiply(flat[:, None], a_co[None, :], out=m)
+            np.add(m, b_co[None, :], out=m)
+            np.remainder(m, _MERSENNE, out=m)
+            return np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
+
         for pdf in batches:
             arrs = [np.asarray(a, dtype=np.int64) for a in pdf["hs"]]
             lens = np.array([a.size for a in arrs], dtype=np.int64)
@@ -288,8 +305,7 @@ def minhash_signatures(
                 flat = np.concatenate(arrs[lo:hi]).astype(np.uint64)
                 cl = lens[lo:hi]
                 starts = np.concatenate(([0], np.cumsum(cl)[:-1]))
-                m = (flat[:, None] * a_co[None, :] + b_co[None, :]) % _MERSENNE
-                sigs = np.minimum.reduceat(m, starts, axis=0).astype(np.int64)
+                sigs = perm_min(flat, starts)
                 yield pd.DataFrame({"doc_id": doc[lo:hi], "sig": list(sigs)})
 
     if shingle_hashes is None:
