@@ -312,9 +312,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # SINGLE-flush `.+` gaps (space on exactly one side): adjacent
     # placement needs a char-level margin inside the boundary token —
-    # the two-frontier greedy chain (query/infix._gap_kinds A/B)
+    # the per-level frontier chain (query/infix._gap_cells)
     q["fts_regex_infix_plusflush"] = lambda s, d: _engine(s, d).infix_docs(
         "data .+table|merge.+ fast"
+    )
+    # interior MIN-m gaps (`.+.+` ≡ `.*..` ≡ `.{2,}`, m ≤ 3): exact
+    # via margin-LEVEL validity cells (query/infix._gap_cells)
+    q["fts_regex_infix_mingap"] = lambda s, d: _engine(s, d).infix_docs(
+        "da.{2,}ta.*le|erge.+.+fas|data.{3,}scan"
     )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
@@ -629,6 +634,12 @@ WHERE regexp_matches(s, 'data .+ table|able .* sc') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'data .+table|merge.+ fast') ORDER BY doc_id"""
+
+    o["fts_regex_infix_mingap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'da.{{2,}}ta.*le|erge.+.+fas|data.{{3,}}scan')
+ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}
 SELECT DISTINCT doc_id

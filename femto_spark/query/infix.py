@@ -58,16 +58,18 @@ empty edge fragment: a required successor/predecessor-token constraint
 with the merge mask forbidden on that gap (a DOUBLE-flush gap — spaces
 on both sides, `a .* b` / `a .+ b` — additionally forces a full token
 between the groups: the two consumed spaces are distinct chars).
-SINGLE-flush `.+` gaps (`a .+b` / `a.+ b`) resolve through MARGIN
-starts: placing the next group adjacent to the previous one is valid
-only when the match leaves ≥1 char of head/tail margin inside the
-boundary token, so the greedy chain carries TWO frontiers per doc —
-min plain start and min tail-margin start (_gap_kinds, kinds A/B; a
-margin start is also a plain start, which keeps the greedy propagation
-complete). Remaining scan-fallback residue: min-2-char interior gaps
-(`.+.+`, `.*..`), edge guards longer than _MAX_EDGE_GUARD or on the
-same side as a boundary-exact chain edge, and the data-dependent
-interior-repetition caps above.
+SINGLE-flush `.+` gaps (`a .+b` / `a.+ b`) and interior MIN-m gaps up
+to m ≤ _MAX_GAP_MIN (`.+.+` ≡ `.*..` ≡ `.{2,}`, user-written `.{m,}`)
+resolve through MARGIN-LEVEL starts: an adjacent placement is valid
+only when the boundary-token matches leave enough head/tail margin
+chars for the gap, so the greedy chain carries one frontier per
+needed tail-margin level (_gap_cells; a margin-k start is also a
+margin-(k−1) start, which keeps the greedy propagation complete).
+Remaining scan-fallback residue: gap minima above _MAX_GAP_MIN,
+double-flush gaps with m ≥ 2 and single-flush with m ≥ 3 (their
+adjacency cells need an INTERMEDIATE token's length), edge guards
+longer than _MAX_EDGE_GUARD or on the same side as a boundary-exact
+chain edge, and the data-dependent interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -546,7 +548,17 @@ def pattern_supported(pattern: str) -> bool:
         return False
 
 
-_GAP_RX = _re.compile(r"\.([*+])")
+_GAP_RX = _re.compile(r"\.(?:([*+])|\{(\d+),\})")
+# interior gaps with min-char count up to _MAX_GAP_MIN are exact on the
+# positional plane (margin-level cells, _gap_cells); larger minima need
+# intermediate-token lengths → scan
+_MAX_GAP_MIN = 3
+
+
+def _gap_min(m: "_re.Match") -> int:
+    if m.group(1) is not None:
+        return 0 if m.group(1) == "*" else 1
+    return int(m.group(2))
 _EDGE_HEAD = _re.compile(r"^(\.*)\.(?:(\*)|(\+)|\{(\d+),\})")
 _EDGE_TAIL = _re.compile(r"\.(?:(\*)|(\+)|\{(\d+),\})(\.*)$")
 _MAX_GAPS = 4  # gap chains: 2^k merge combos, capped tiny
@@ -593,35 +605,42 @@ def streamline(pattern: str) -> str:
     return pattern
 
 
-_GAP_RUN_RX = _re.compile(r"(?:\.[*+]?)+")
+_GAP_RUN_RX = _re.compile(r"(?:\.(?:[*+]|\{\d+,\})?)+")
 
 
 def _fold_gap_runs(pattern: str) -> str:
-    """A maximal interior run mixing `.*`/`.+` gaps and literal dots
-    folds to one canonical gap: the run requires m = (#dots + #plus-
-    gaps) chars with no upper bound, so `.*.` ≡ `..*` ≡ `.+` and
-    `.*.*` ≡ `.*`. m == 0 → `.*`; m == 1 → `.+`; m ≥ 2 would need a
-    min-m-char gap the token-positional plane can't express — the run
-    is left in place and detect_gaps rejects the dot-edged part it
-    creates (scan fallback). Pure-dot runs are literal wildcards,
+    """A maximal interior run mixing `.*`/`.+`/`.{m,}` gaps and literal
+    dots folds to one canonical gap: the run requires m = (#dots +
+    Σ gap minima) chars with no upper bound, so `.*.` ≡ `..*` ≡ `.+`,
+    `.*.*` ≡ `.*`, `.+.+` ≡ `.{2,}`. m == 0 → `.*`; m == 1 → `.+`;
+    2 ≤ m ≤ _MAX_GAP_MIN → `.{m,}` (margin-level cells evaluate it —
+    _gap_cells); larger minima would need intermediate-token lengths —
+    the run is left in place and detect_gaps rejects the dot-edged part
+    it creates (scan fallback). Pure-dot runs are literal wildcards,
     untouched; EDGE runs were already rewritten by streamline()."""
     out, last = [], 0
     for m in _GAP_RUN_RX.finditer(pattern):
         seg = m.group(0)
-        if "*" not in seg and "+" not in seg:
+        if "*" not in seg and "+" not in seg and "{" not in seg:
             continue
         mins, j = 0, 0
         while j < len(seg):
             if j + 1 < len(seg) and seg[j + 1] in "*+":
                 mins += seg[j + 1] == "+"
                 j += 2
+            elif j + 1 < len(seg) and seg[j + 1] == "{":
+                k = seg.index("}", j)
+                mins += int(seg[j + 2 : k - 1])
+                j = k + 1
             else:
                 mins += 1
                 j += 1
-        if mins > 1:
+        if mins > _MAX_GAP_MIN:
             continue
         out.append(pattern[last : m.start()])
-        out.append(".*" if mins == 0 else ".+")
+        out.append(
+            ".*" if mins == 0 else ".+" if mins == 1 else f".{{{mins},}}"
+        )
         last = m.end()
     out.append(pattern[last:])
     return "".join(out)
@@ -665,13 +684,14 @@ def _gap_part_variants(parts: list[str]):
 
 def detect_gaps(pattern: str):
     """An interior unbounded-gap CHAIN `P0 .* P1 .* … Pk` (any mix of
-    `.*`/`.+`, 1 ≤ k ≤ _MAX_GAPS after _fold_gap_runs), optionally
+    `.*`/`.+`/`.{m,}` with m ≤ _MAX_GAP_MIN, 1 ≤ k ≤ _MAX_GAPS after
+    _fold_gap_runs), optionally
     wrapped in EDGE GUARD dot runs (what streamline() leaves of a
     `.+`/`.{m,}` edge). Parts may span MULTIPLE tokens: literal spaces
     split a part into consecutive-token fragments and in-part dots
     enumerate space/char choices (variants(); every fragment must stay
-    nonempty — _gap_part_variants). Returns (parts, pluses, head_guard,
-    tail_guard) or None.
+    nonempty — _gap_part_variants). Returns (parts, gap_mins,
+    head_guard, tail_guard) or None.
 
     Exhaustive token-assignment decomposition: parts are char-ordered
     and a part's match occupies a CONTIGUOUS token range, so only
@@ -712,17 +732,27 @@ def detect_gaps(pattern: str):
     pvars = _gap_part_variants(parts)
     if pvars is None:
         return None
-    pluses = [m.group(1) == "+" for m in ms]
+    mins = [_gap_min(m) for m in ms]
     # boundary-exact edges (empty edge fragments, uniform per part):
-    # single-flush `.+` gaps resolve through margin starts (_gap_kinds
-    # A/B, two-frontier chain); a dot GUARD on the same side as a
-    # boundary-exact chain edge still needs the neighbor token's length
-    # — that falls to the scan.
+    # single-flush `.+`/`.{m,}` gaps resolve through margin-level starts
+    # (_gap_cells); the combos whose adjacency cells would need an
+    # INTERMEDIATE token's length fall to the scan — double-flush m ≥ 2
+    # (`a .{2,} b`: one token between, its length decides) and
+    # single-flush m ≥ 3 — as does a dot GUARD on the same side as a
+    # boundary-exact chain edge (neighbor token's length).
     hE = [vs[0][0] == "" for vs in pvars]
     tE = [vs[0][-1] == "" for vs in pvars]
+    for i, m in enumerate(mins):
+        if m > _MAX_GAP_MIN:
+            return None
+        fp, fn = tE[i], hE[i + 1]
+        if m >= 2 and fp and fn:
+            return None
+        if m >= 3 and (fp or fn):
+            return None
     if (head and hE[0]) or (tail and tE[-1]):
         return None
-    return parts, pluses, head, tail
+    return parts, mins, head, tail
 
 
 def _part_slots(frags: tuple[str, ...]):
@@ -759,7 +789,7 @@ def _part_len(frags: tuple[str, ...]) -> int:
     return len(frags) - (frags[0] == "") - (frags[-1] == "")
 
 
-def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
+def _gap_slot_groups(pvar, mins: list[int], mask: int):
     """Token-slot groups for one (variant-choice, merge-mask): each
     group is (slots, L, head_empty, tail_empty), slots = [(offset,
     term-regex, gram-run)] over real-token offsets 0..L-1. A merged gap
@@ -772,19 +802,19 @@ def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
     of every constituent). head_empty/tail_empty carry the group's
     boundary-exact edges (first part's head, last part's tail); callers
     never set a merge bit on a gap adjacent to one. Returns (groups,
-    links) — links[i] is the `.+`-flag of the NON-MERGED gap connecting
-    groups i and i+1 (the chain evaluators classify each boundary from
-    it plus the flush flags)."""
+    links) — links[i] is the min-char count of the NON-MERGED gap
+    connecting groups i and i+1 (the chain evaluators derive each
+    boundary's cells from it plus the flush flags — _gap_cells)."""
     groups, links = [], []
     slots = list(_part_slots(pvar[0]))
     L = _part_len(pvar[0])
     hE = pvar[0][0] == ""
     tE = pvar[0][-1] == ""
-    for i, plus in enumerate(pluses):
+    for i, mn in enumerate(mins):
         nxt = _part_slots(pvar[i + 1])
         nL = _part_len(pvar[i + 1])
         if (mask >> i) & 1:  # gap i merged: boundary token shared
-            gap = ".+" if plus else ".*"
+            gap = ".*" if mn == 0 else ".+" if mn == 1 else f".{{{mn},}}"
             _, lrx, lrun = slots[-1]
             _, frx, frun = nxt[0]
             slots = (
@@ -795,48 +825,75 @@ def _gap_slot_groups(pvar, pluses: list[bool], mask: int):
             L += nL - 1
         else:
             groups.append((slots, L, hE, tE))
-            links.append(plus)
+            links.append(mn)
             slots, L, hE = list(nxt), nL, pvar[i + 1][0] == ""
         tE = pvar[i + 1][-1] == ""
     groups.append((slots, L, hE, tE))
     return groups, links
 
 
-def _gap_kinds(groups, links):
-    """Classify each group boundary of a chain. Returns a list of
-    (kind, n) pairs, one per consecutive group pair (prev length L):
+def _gap_cells(groups, links):
+    """Validity cells per group boundary. A next-group start a' at
+    token distance d = a' − (e + L) from a prev start e satisfies a
+    min-m gap iff the chars strictly between the two matches number
+    ≥ m. With t = the prev match's tail margin (chars after it inside
+    its last token; 0 and unavailable when the prev group is
+    tail-empty — its part consumed the boundary space) and h = the next
+    match's head margin (symmetric), the char count is EXACT in
+    (d, t, h) whenever no intermediate token's length enters:
 
-      ("plain", step) — threshold a' ≥ e + step: step = L, +1 across a
-        DOUBLE-flush boundary (prev tail-empty AND next head-empty: the
-        two consumed spaces are distinct chars, so a full token must
-        sit between the groups);
-      ("A", L) — a `.+` gap flush ONLY on the prev side (`a .+b`): an
-        adjacent next-group start (a' = e + L) is valid only when its
-        match leaves ≥1 char of HEAD MARGIN inside its first token (the
-        gap's chars); a' ≥ e + L + 1 always has the full intermediate
-        token;
-      ("B", L) — a `.+` gap flush ONLY on the next side (`a.+ b`): an
-        adjacent placement is valid only from a prev start whose match
-        leaves ≥1 char of TAIL MARGIN inside its last token — the chain
-        carries a second frontier et = min tail-margin start, and the
-        threshold is min(e + L + 1, et + L).
+      neither side flush:  d = 0 → t + 1 + h      d ≥ 1 → ≥ t+h+1+2d
+      prev flush (fp):     d = 0 → h              d ≥ 1 → ≥ h+2d
+      next flush (fn):     d = 0 → t              d ≥ 1 → ≥ t+2d
+      both flush:          d ≥ 1 → ≥ 2d−1  (d = 0 impossible: the two
+                                            consumed spaces are distinct)
 
-    A margin start is also a plain start (the margin regex match
-    contains a plain match at the same anchor), so propagating the two
-    per-doc minima greedily stays complete: any feasible chain's start
-    aᵢ dominates the corresponding frontier by induction."""
-    kinds = []
+    Each boundary therefore reduces to a list of cells
+    (h_lvl, t_lvl, d_min): a' is valid iff for SOME cell, a' carries a
+    head margin ≥ h_lvl, a' ≥ frontier[t_lvl] + L + d_min, where
+    frontier[t] = min chain-valid prev start with tail margin ≥ t.
+    Margin-k starts nest (k+1 ⊂ k ⊂ plain: the margin regex match
+    contains the smaller-margin match at the same anchor), so greedy
+    per-level minima propagation stays complete — any feasible chain's
+    aᵢ dominates the matching frontier by induction. detect_gaps admits
+    only combos whose cells close: m ≥ 2 double-flush and m ≥ 3
+    single-flush adjacency cells depend on an intermediate token's
+    LENGTH and fall to the scan."""
+    out = []
     for i in range(len(groups) - 1):
-        p, n = groups[i], groups[i + 1]
-        if p[3] and n[2]:
-            kinds.append(("plain", p[1] + 1))
-        elif links[i] and p[3]:
-            kinds.append(("A", p[1]))
-        elif links[i] and n[2]:
-            kinds.append(("B", p[1]))
+        fp, fn = groups[i][3], groups[i + 1][2]
+        m = links[i]
+        if fp and fn:
+            cells = [(0, 0, 1)] if m <= 1 else None
+        elif fp:
+            # d=0: chars = h → h ≥ m; d≥1: ≥ h + 2d ≥ 2 ≥ m for m ≤ 2
+            cells = (
+                [(0, 0, 0)]
+                if m == 0
+                else [(0, 0, 1), (m, 0, 0)]
+                if m <= 2
+                else None
+            )
+        elif fn:
+            cells = (
+                [(0, 0, 0)]
+                if m == 0
+                else [(0, 0, 1), (0, m, 0)]
+                if m <= 2
+                else None
+            )
         else:
-            kinds.append(("plain", p[1]))
-    return kinds
+            # d=0: chars = t + 1 + h → t + h ≥ m − 1; d≥1: ≥ 3 ≥ m
+            cells = (
+                [(0, 0, 0)]
+                if m <= 1
+                else [(0, 0, 1)]
+                + [(h, m - 1 - h, 0) for h in range(m)]
+            )
+        if cells is None:  # detect_gaps admitted it; defensive
+            raise ValueError(f"unsupported gap combo m={m} fp={fp} fn={fn}")
+        out.append(cells)
+    return out
 
 
 def _gapk_docs(
@@ -844,20 +901,21 @@ def _gapk_docs(
     vocab,
     ngrams,
     parts: list[str],
-    pluses: list[bool],
+    mins: list[int],
     head: int = 0,
     tail: int = 0,
 ) -> DataFrame:
     """Evaluate a gap chain (see detect_gaps): union over (per-part
     variant choices × 2^k merge masks); each combination's group
-    sequence is decided by a greedy positional chain — a₀ = min start of
-    group 0, aᵢ = min start of group i that is ≥ aᵢ₋₁ + Lᵢ₋₁; the doc
-    matches iff the chain completes (greedy earliest extension is
-    complete for existence of ANY valid chain). A group's START
-    positions come from anchor-joining its slots (token at a+off must
-    match slot regex `off` for every slot) — each distinct slot regex
-    costs one gram-pruned vocab scan + one positions decode, and each
-    distinct slot SET one join tree, shared across combinations.
+    sequence is decided by a greedy positional chain over the
+    boundary's validity cells (_gap_cells) — per-doc state carries one
+    frontier per needed tail-margin level, and the doc matches iff the
+    chain completes (greedy earliest extension per level is complete
+    for existence of ANY valid chain — margin-k starts nest). A group's
+    START positions come from anchor-joining its slots (token at a+off
+    must match slot regex `off` for every slot) — each distinct slot
+    regex costs one gram-pruned vocab scan + one positions decode, and
+    each distinct slot SET one join tree, shared across combinations.
 
     Edge guards (detect_gaps head/tail ≤ _MAX_EDGE_GUARD): a head guard
     admits group-0 starts at a ≥ 1 (≥ 2 stream chars precede any
@@ -913,21 +971,21 @@ def _gapk_docs(
         (oL, rxL, runL) = slots[-1]
         return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
-    def vslots(slots, hm: bool, tm: bool):
-        # margin slot variants for single-flush `.+` gaps (_gap_kinds
-        # A/B): a HEAD margin requires ≥1 char before the first slot's
-        # match inside its token, a TAIL margin ≥1 char after the last
-        # slot's match. The _part_slots invariants guarantee the
-        # modified side is unanchored (A ⇒ next part not head-empty,
-        # B ⇒ prev part not tail-empty), so prepending/appending a dot
-        # expresses the margin exactly; the gram run is unchanged (a
-        # margin match contains a plain match).
+    def vslots(slots, hm: int, tm: int):
+        # margin slot variants (levels, _gap_cells): a HEAD margin of k
+        # requires ≥ k chars before the first slot's match inside its
+        # token, a TAIL margin ≥ k chars after the last slot's match.
+        # The _part_slots invariants guarantee the modified side is
+        # unanchored (cells request h > 0 only of non-head-empty
+        # groups, t > 0 only of non-tail-empty ones), so prepending/
+        # appending k dots expresses the margin exactly; the gram run
+        # is unchanged (a margin match contains a plain match).
         if hm:
             (o0, rx0, run0) = slots[0]
-            slots = [(o0, "." + rx0, run0)] + list(slots[1:])
+            slots = [(o0, "." * hm + rx0, run0)] + list(slots[1:])
         if tm:
             (oL, rxL, runL) = slots[-1]
-            slots = list(slots[:-1]) + [(oL, rxL + ".", runL)]
+            slots = list(slots[:-1]) + [(oL, rxL + "." * tm, runL)]
         return slots
 
     def cap_tail(df: DataFrame, L: int) -> DataFrame:
@@ -937,7 +995,7 @@ def _gapk_docs(
             .select("doc_id", "a")
         )
 
-    def starts_c(group, hm: bool = False, tm: bool = False) -> DataFrame:
+    def starts_c(group, hm: int = 0, tm: int = 0) -> DataFrame:
         # boundary-exact edges are REQUIRED constraints: a head-empty
         # group needs a predecessor token (a ≥ 1), a tail-empty group a
         # successor token (a + L ≤ dl − 1, the same cap the tail guard
@@ -950,22 +1008,22 @@ def _gapk_docs(
             df = cap_tail(df, L)
         return df
 
-    def head_starts(group, tm: bool = False) -> DataFrame:
+    def head_starts(group, tm: int = 0) -> DataFrame:
         if not head:  # detect_gaps: head guard ⇒ group 0 not head-empty
             return starts_c(group, tm=tm)
         slots, L, hE, tE = group
         base = starts_c(group, tm=tm).filter(F.col("a") >= 1)
-        guarded = starts_of(g_head(vslots(slots, False, tm)))
+        guarded = starts_of(g_head(vslots(slots, 0, tm)))
         if tE:
             guarded = cap_tail(guarded, L)
         return base.unionByName(guarded)
 
-    def tail_starts(group, hm: bool = False) -> DataFrame:
+    def tail_starts(group, hm: int = 0) -> DataFrame:
         if not tail:
             return starts_c(group, hm=hm)
         slots, L, hE, tE = group
         base = cap_tail(starts_c(group, hm=hm), L)
-        guarded = starts_of(g_tail(vslots(slots, hm, False)))
+        guarded = starts_of(g_tail(vslots(slots, hm, 0)))
         if hE:
             guarded = guarded.filter(F.col("a") >= 1)
         return base.unionByName(guarded)
@@ -1008,97 +1066,83 @@ def _gapk_docs(
         # empty edge consumes the inter-token space — the parts cannot
         # share a token)
         forbidden = 0
-        for i in range(len(pluses)):
+        for i in range(len(mins)):
             if pvar[i][-1] == "" or pvar[i + 1][0] == "":
                 forbidden |= 1 << i
-        for mask in range(1 << len(pluses)):
+        for mask in range(1 << len(mins)):
             if mask & forbidden:
                 continue
-            groups, links = _gap_slot_groups(pvar, pluses, mask)
+            groups, links = _gap_slot_groups(pvar, mins, mask)
             if len(groups) == 1:
                 d = single_group_docs(groups[0])
             else:
-                # two-frontier greedy chain (_gap_kinds): state carries
-                # e = min valid start, and — when the NEXT boundary is
-                # kind B — et = min valid TAIL-MARGIN start (null when
-                # the doc has none)
-                kinds = _gap_kinds(groups, links)
-                need_tm = [k[0] == "B" for k in kinds]
+                # greedy per-level frontier chain (_gap_cells): state
+                # carries, per needed tail-margin level t, the min
+                # chain-valid start with that margin (column e{t}; a
+                # doc missing the level has null — its cells filter out
+                # via null comparison, the other cells still union in)
+                cells = _gap_cells(groups, links)
+                # frontier levels group i must export = t-levels of its
+                # OUTGOING boundary's cells (always include 0)
+                out_lvls = [
+                    sorted({0} | {t for _, t, _ in cells[i]})
+                    for i in range(len(cells))
+                ]
 
                 def agg_min(df: DataFrame, col: str) -> DataFrame:
                     return df.groupBy("doc_id").agg(
                         F.min("a").alias(col)
                     )
 
-                st = agg_min(head_starts(groups[0]), "e")
-                if need_tm[0]:
-                    st = st.join(
-                        agg_min(head_starts(groups[0], tm=True), "et"),
-                        "doc_id",
-                        "left",
-                    )
+                st = agg_min(head_starts(groups[0]), "e0")
+                for t in out_lvls[0]:
+                    if t:
+                        st = st.join(
+                            agg_min(head_starts(groups[0], tm=t), f"e{t}"),
+                            "doc_id",
+                            "left",
+                        )
                 d = None
                 for i in range(1, len(groups)):
-                    kind, n = kinds[i - 1]
                     g = groups[i]
+                    L = groups[i - 1][1]
                     last = i == len(groups) - 1
-                    tm_next = (not last) and need_tm[i]
 
-                    def sget(hm=False, tm=False, g=g, last=last):
+                    def sget(hm=0, tm=0, g=g, last=last):
                         if last:  # no outgoing gap ⇒ tm never needed
                             return tail_starts(g, hm=hm)
                         return starts_c(g, hm=hm, tm=tm)
 
-                    def passed(df, thr, st=st):
-                        return (
-                            df.join(st, "doc_id")
-                            .filter(F.col("a") >= thr)
-                            .select("doc_id", "a")
-                        )
-
-                    if kind == "A":
-                        # adjacent placement (a' = e + n) valid only
-                        # for head-margin starts; a' ≥ e + n + 1 always
-                        e_new = passed(
-                            sget(), F.col("e") + (n + 1)
-                        ).unionByName(
-                            passed(sget(hm=True), F.col("e") + n)
-                        )
-                        et_new = (
-                            passed(
-                                sget(tm=True), F.col("e") + (n + 1)
-                            ).unionByName(
-                                passed(
-                                    sget(hm=True, tm=True),
-                                    F.col("e") + n,
+                    def valid(tm, st=st, L=L, cc=cells[i - 1]):
+                        # union of this boundary's cells, each a
+                        # margin-variant start set under its frontier
+                        # threshold
+                        u = None
+                        for h, t, dm in cc:
+                            p = (
+                                sget(hm=h, tm=tm)
+                                .join(st, "doc_id")
+                                .filter(
+                                    F.col("a")
+                                    >= F.col(f"e{t}") + (L + dm)
                                 )
+                                .select("doc_id", "a")
                             )
-                            if tm_next
-                            else None
-                        )
-                    else:
-                        if kind == "B":
-                            # least() skips the null et — docs with no
-                            # tail-margin start get the strict bound
-                            thr = F.least(
-                                F.col("e") + (n + 1), F.col("et") + n
-                            )
-                        else:
-                            thr = F.col("e") + n
-                        e_new = passed(sget(), thr)
-                        et_new = (
-                            passed(sget(tm=True), thr)
-                            if tm_next
-                            else None
-                        )
+                            u = p if u is None else u.unionByName(p)
+                        return u
+
                     if last:
-                        d = e_new.select("doc_id").distinct()
+                        d = valid(0).select("doc_id").distinct()
                     else:
-                        st = agg_min(e_new, "e")
-                        if tm_next:
-                            st = st.join(
-                                agg_min(et_new, "et"), "doc_id", "left"
-                            )
+                        nst = agg_min(valid(0), "e0")
+                        for t in out_lvls[i]:
+                            if t:
+                                nst = nst.join(
+                                    agg_min(valid(t), f"e{t}"),
+                                    "doc_id",
+                                    "left",
+                                )
+                        st = nst
             result = d if result is None else result.union(d)
     return result
 

@@ -750,17 +750,16 @@ class LocalSearcher:
     def _gapk_infix_docs(
         self,
         parts: list[str],
-        pluses: list[bool],
+        mins: list[int],
         head: int = 0,
         tail: int = 0,
     ) -> set[int]:
         """Serving form of query/infix._gapk_docs: union over (per-part
         variant choices × 2^k merge masks), each decided by the greedy
         two-frontier positional chain (doc matches iff group start
-        positions a₀, a₁, … exist satisfying each boundary's _gap_kinds
-        threshold — plain step / head-margin split / tail-margin
-        frontier — with every slot of each group matching at its
-        offset). Position maps are cached per distinct
+        positions a₀, a₁, … exist satisfying each boundary's
+        _gap_cells validity cells — per-level margin frontiers — with
+        every slot of each group matching at its offset). Position maps are cached per distinct
         slot regex and start maps per slot set, shared across
         combinations. Edge guards (head/tail dot runs ≤ _MAX_EDGE_GUARD,
         see detect_gaps): a head guard admits group-0 starts ≥ 1 plus
@@ -772,7 +771,7 @@ class LocalSearcher:
         from itertools import product
 
         from .query.infix import (
-            _gap_kinds,
+            _gap_cells,
             _gap_part_variants,
             _gap_slot_groups,
         )
@@ -821,15 +820,15 @@ class LocalSearcher:
             (oL, rxL, runL) = slots[-1]
             return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
-        def vslots(slots, hm: bool, tm: bool):
-            # margin variants for single-flush `.+` gaps — see the
-            # Spark plane (query/infix._gapk_docs vslots)
+        def vslots(slots, hm: int, tm: int):
+            # margin-level variants for flush/min-m gaps — see the
+            # Spark plane (query/infix._gapk_docs vslots, _gap_cells)
             if hm:
                 (o0, rx0, run0) = slots[0]
-                slots = [(o0, "." + rx0, run0)] + list(slots[1:])
+                slots = [(o0, "." * hm + rx0, run0)] + list(slots[1:])
             if tm:
                 (oL, rxL, runL) = slots[-1]
-                slots = list(slots[:-1]) + [(oL, rxL + ".", runL)]
+                slots = list(slots[:-1]) + [(oL, rxL + "." * tm, runL)]
             return slots
 
         def merged(base: dict, extra: dict) -> dict:
@@ -851,7 +850,7 @@ class LocalSearcher:
                 if (q := p[p <= dls.get(doc, 0) - 1 - L]).size
             }
 
-        def starts_c(group, hm: bool = False, tm: bool = False):
+        def starts_c(group, hm: int = 0, tm: int = 0):
             # boundary-exact edges are REQUIRED constraints (see the
             # Spark plane): head-empty ⇒ a ≥ 1, tail-empty ⇒ successor
             # token exists
@@ -863,20 +862,20 @@ class LocalSearcher:
                 m = cap_tail(m, L)
             return m
 
-        def head_starts(group, tm: bool = False):
+        def head_starts(group, tm: int = 0):
             if not head:
                 return starts_c(group, tm=tm)
             slots, L, hE, tE = group
-            guarded = starts_of(g_head(vslots(slots, False, tm)))
+            guarded = starts_of(g_head(vslots(slots, 0, tm)))
             if tE:
                 guarded = cap_tail(guarded, L)
             return merged(pos_ge1(starts_c(group, tm=tm)), guarded)
 
-        def tail_starts(group, hm: bool = False):
+        def tail_starts(group, hm: int = 0):
             if not tail:
                 return starts_c(group, hm=hm)
             slots, L, hE, tE = group
-            guarded = starts_of(g_tail(vslots(slots, hm, False)))
+            guarded = starts_of(g_tail(vslots(slots, hm, 0)))
             if hE:
                 guarded = pos_ge1(guarded)
             return merged(cap_tail(starts_c(group, hm=hm), L), guarded)
@@ -906,28 +905,31 @@ class LocalSearcher:
         result: set[int] = set()
         for pvar in product(*pvars):
             forbidden = 0
-            for i in range(len(pluses)):
+            for i in range(len(mins)):
                 if pvar[i][-1] == "" or pvar[i + 1][0] == "":
                     forbidden |= 1 << i
-            for mask in range(1 << len(pluses)):
+            for mask in range(1 << len(mins)):
                 if mask & forbidden:
                     continue
-                groups, links = _gap_slot_groups(pvar, pluses, mask)
+                groups, links = _gap_slot_groups(pvar, mins, mask)
                 if len(groups) == 1:
                     result |= single_docs(groups[0])
                     continue
-                # two-frontier greedy chain — the serving form of
-                # query/infix._gapk_docs: e = min valid start, et = min
-                # valid TAIL-MARGIN start (inf when absent), boundary
-                # kinds per _gap_kinds
-                kinds = _gap_kinds(groups, links)
-                need_tm = [k[0] == "B" for k in kinds]
+                # greedy per-level frontier chain — the serving form of
+                # query/infix._gapk_docs: per doc, fr[t] = min
+                # chain-valid start with tail margin >= t (inf when
+                # absent), boundary validity cells per _gap_cells
+                cells = _gap_cells(groups, links)
+                out_lvls = [
+                    sorted({0} | {t for _, t, _ in cells[i]})
+                    for i in range(len(cells))
+                ]
                 n_g = len(groups)
 
-                def sget(i, hm=False, tm=False):
-                    if i == 0:  # group 0 has no incoming gap ⇒ no hm
+                def sget(i, hm=0, tm=0):
+                    if i == 0:  # group 0 has no incoming gap => no hm
                         return head_starts(groups[0], tm=tm)
-                    if i == n_g - 1:  # no outgoing gap ⇒ no tm
+                    if i == n_g - 1:  # no outgoing gap => no tm
                         return tail_starts(groups[-1], hm=hm)
                     return starts_c(groups[i], hm=hm, tm=tm)
 
@@ -950,48 +952,30 @@ class LocalSearcher:
                         return _INF
                     q = q[q >= lo]
                     return int(q.min()) if q.size else _INF
+
                 for doc in common - result:
-                    e = int(maps[0][doc].min())
-                    et = mmin(0, False, True, doc, 0) if need_tm[0] else _INF
+                    fr = {0: int(maps[0][doc].min())}
+                    for t in out_lvls[0]:
+                        if t:
+                            fr[t] = mmin(0, 0, t, doc, 0)
                     ok = True
                     for i in range(1, n_g):
-                        kind, n = kinds[i - 1]
-                        tm_next = i < n_g - 1 and need_tm[i]
-                        plain = maps[i][doc]
-                        if kind == "A":
-                            # adjacent placement needs a head margin
-                            cand = plain[plain >= e + n + 1]
-                            new_e = min(
-                                int(cand.min()) if cand.size else _INF,
-                                mmin(i, True, False, doc, e + n),
-                            )
-                            new_et = (
-                                min(
-                                    mmin(i, False, True, doc, e + n + 1),
-                                    mmin(i, True, True, doc, e + n),
-                                )
-                                if tm_next
-                                else _INF
-                            )
-                        else:
-                            thr = (
-                                min(e + n + 1, et + n)
-                                if kind == "B"
-                                else e + n
-                            )
-                            cand = plain[plain >= thr]
-                            new_e = (
-                                int(cand.min()) if cand.size else _INF
-                            )
-                            new_et = (
-                                mmin(i, False, True, doc, thr)
-                                if tm_next
-                                else _INF
-                            )
-                        if new_e == _INF:
+                        L = groups[i - 1][1]
+                        lvls = out_lvls[i] if i < n_g - 1 else [0]
+                        nfr = {}
+                        for tm in lvls:
+                            best = _INF
+                            for h, t, dm in cells[i - 1]:
+                                lo = fr.get(t, _INF) + L + dm
+                                if lo != _INF:
+                                    best = min(
+                                        best, mmin(i, h, tm, doc, lo)
+                                    )
+                            nfr[tm] = best
+                        if nfr[0] == _INF:
                             ok = False
                             break
-                        e, et = new_e, new_et
+                        fr = nfr
                     if ok:
                         result.add(doc)
         return result

@@ -144,10 +144,15 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "a .* b", "a .+ b", "able .* sc", "able .+ sc", "e .* a .* t",
         "data .+ table", "a b .* c d", "merge .+ fast",
         # SINGLE-flush `.+` gaps: adjacent placement needs a char-level
-        # margin — the two-frontier chain (kinds A/B in _gap_kinds)
+        # margin — the per-level frontier chain (query/infix._gap_cells)
         "a .+b", "a.+ b", "data .+table", "merge.+ fast", "able .+sc",
         "ab .+a .+b c", "e .+a .*t", "a .*b .+c", ".+a .+b", "a.+ b.+",
         "erge .+fas", "ta.+ le .+fast",
+        # interior MIN-m gaps (m ≤ 3): `.+.+`≡`.*..`≡`.{2,}` — margin-
+        # level cells; double-flush m≥2 / single-flush m≥3 stay scan
+        "a.+.+b", "a.*..b", "da.{2,}ta", "erge.{2,}fas", "a.{3,}b",
+        "a .+.+b", "a.{2,} b", "ta.{2,}le .*fast", "e.{2,}a.{3,}t",
+        "data.{2,}table|merge.{3,}fast",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -292,10 +297,11 @@ def test_infix_rejects_unsupported(engine):
         # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
         # positional plane can't see the first/last token's length)
         ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
-        # min-2-char interior gaps, double boundary spaces (needs token
-        # lengths the positional plane doesn't carry); single-flush `.+`
-        # (`a .+b`) is SUPPORTED since the two-frontier margin chain
-        "a.*..b", "a.+.+b", "a  .*b", ".+ a.*b",
+        # gap minima past _MAX_GAP_MIN, flush+min-m combos whose
+        # adjacency cells need an intermediate token's length, double
+        # boundary spaces; min-m interior gaps themselves (`a.+.+b`)
+        # are SUPPORTED since the margin-level cell chain
+        "a.{4,}b", "a .+.+ b", "a .{3,}b", "a  .*b", ".+ a.*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

@@ -146,8 +146,10 @@ def test_infix_matches_engine(searcher, engine):
         # boundary-exact edges (space adjacent to a `.*` gap)
         "able .*sc", "a .*b", "a.* b", " a .*b ", "e .*a .*t",
         "a .* b", "a .+ b", "able .* sc", "data .+ table",
-        # single-flush `.+` gaps (two-frontier margin chain)
+        # single-flush `.+` gaps (margin-level frontier chain)
         "a .+b", "a.+ b", "data .+table", "merge.+ fast", "e .+a .*t",
+        # interior min-m gaps (_gap_cells)
+        "a.+.+b", "a.*..b", "da.{2,}ta", "a.{3,}b", "a .+.+b",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
