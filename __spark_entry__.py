@@ -321,6 +321,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_regex_infix_mingap"] = lambda s, d: _engine(s, d).infix_docs(
         "da.{2,}ta.*le|erge.+.+fas|data.{3,}scan"
     )
+    # flush min-m combos: adjacency needs the INTERMEDIATE token's
+    # length — the lg cell anti-joins the short terms' positions
+    # (query/infix._gapk_docs long_at_prev)
+    q["fts_regex_infix_lggap"] = lambda s, d: _engine(s, d).infix_docs(
+        "data .{2,} table|erge.{3,} fas|able .+.+ scan"
+    )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
     q["fts_regex_infix_nested"] = lambda s, d: _engine(s, d).infix_docs(
@@ -639,6 +645,12 @@ WHERE regexp_matches(s, 'data .+table|merge.+ fast') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'da.{{2,}}ta.*le|erge.+.+fas|data.{{3,}}scan')
+ORDER BY doc_id"""
+
+    o["fts_regex_infix_lggap"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, 'data .{{2,}} table|erge.{{3,}} fas|able .+.+ scan')
 ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}

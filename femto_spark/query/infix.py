@@ -734,22 +734,18 @@ def detect_gaps(pattern: str):
         return None
     mins = [_gap_min(m) for m in ms]
     # boundary-exact edges (empty edge fragments, uniform per part):
-    # single-flush `.+`/`.{m,}` gaps resolve through margin-level starts
-    # (_gap_cells); the combos whose adjacency cells would need an
-    # INTERMEDIATE token's length fall to the scan — double-flush m ≥ 2
-    # (`a .{2,} b`: one token between, its length decides) and
-    # single-flush m ≥ 3 — as does a dot GUARD on the same side as a
-    # boundary-exact chain edge (neighbor token's length).
+    # flush/min-m gaps resolve through margin-level starts plus, where
+    # an adjacency cell needs an INTERMEDIATE token's length (`a .{2,}
+    # b`: one token between, its length decides), the long-token filter
+    # (_gap_cells lg — an anti-join against the SHORT terms' positions,
+    # a tiny candidate set). A dot GUARD on the same side as a
+    # boundary-exact chain edge still falls to the scan (the guard
+    # needs the NEIGHBOR token's length at position 1, which is not a
+    # per-start property).
     hE = [vs[0][0] == "" for vs in pvars]
     tE = [vs[0][-1] == "" for vs in pvars]
-    for i, m in enumerate(mins):
-        if m > _MAX_GAP_MIN:
-            return None
-        fp, fn = tE[i], hE[i + 1]
-        if m >= 2 and fp and fn:
-            return None
-        if m >= 3 and (fp or fn):
-            return None
+    if any(m > _MAX_GAP_MIN for m in mins):
+        return None
     if (head and hE[0]) or (tail and tE[-1]):
         return None
     return parts, mins, head, tail
@@ -849,49 +845,57 @@ def _gap_cells(groups, links):
                                             consumed spaces are distinct)
 
     Each boundary therefore reduces to a list of cells
-    (h_lvl, t_lvl, d_min): a' is valid iff for SOME cell, a' carries a
-    head margin ≥ h_lvl, a' ≥ frontier[t_lvl] + L + d_min, where
-    frontier[t] = min chain-valid prev start with tail margin ≥ t.
-    Margin-k starts nest (k+1 ⊂ k ⊂ plain: the margin regex match
-    contains the smaller-margin match at the same anchor), so greedy
-    per-level minima propagation stays complete — any feasible chain's
-    aᵢ dominates the matching frontier by induction. detect_gaps admits
-    only combos whose cells close: m ≥ 2 double-flush and m ≥ 3
-    single-flush adjacency cells depend on an intermediate token's
-    LENGTH and fall to the scan."""
+    (h_lvl, t_lvl, d_min, lg): a' is valid iff for SOME cell, a'
+    carries a head margin ≥ h_lvl, a' ≥ frontier[t_lvl] + L + d_min,
+    and — when lg > 0 — the token at slot a'−1 has length ≥ lg (the
+    one INTERMEDIATE token a d_min=1 adjacency cell feeds the gap
+    with; evaluated as an anti-join against the positions of terms
+    SHORTER than lg, a tiny candidate set), where frontier[t] = min
+    chain-valid prev start with tail margin ≥ t. Margin-k starts nest
+    (k+1 ⊂ k ⊂ plain: the margin regex match contains the
+    smaller-margin match at the same anchor), so greedy per-level
+    minima propagation stays complete — any feasible chain's aᵢ
+    dominates the matching frontier by induction. Cells close for
+    every combo with m ≤ _MAX_GAP_MIN: past d = 2 (or d = 1 with
+    margins) the minimum char count ≥ 3 ≥ m, so at most one token
+    length ever enters."""
     out = []
     for i in range(len(groups) - 1):
         fp, fn = groups[i][3], groups[i + 1][2]
         m = links[i]
         if fp and fn:
-            cells = [(0, 0, 1)] if m <= 1 else None
-        elif fp:
-            # d=0: chars = h → h ≥ m; d≥1: ≥ h + 2d ≥ 2 ≥ m for m ≤ 2
+            # d ≥ 1 (the two consumed spaces are distinct); d=1 chars =
+            # len₁ exactly; d=2 ≥ 3
             cells = (
-                [(0, 0, 0)]
+                [(0, 0, 1, 0)]
+                if m <= 1
+                else [(0, 0, 2, 0), (0, 0, 1, m)]
+            )
+        elif fp:
+            # d=0: chars = h; d=1: len₁ + 1 + h; d=2: ≥ 5
+            cells = (
+                [(0, 0, 0, 0)]
                 if m == 0
-                else [(0, 0, 1), (m, 0, 0)]
+                else [(0, 0, 1, 0), (m, 0, 0, 0)]
                 if m <= 2
-                else None
+                else [(0, 0, 2, 0), (3, 0, 0, 0), (1, 0, 1, 0), (0, 0, 1, 2)]
             )
         elif fn:
             cells = (
-                [(0, 0, 0)]
+                [(0, 0, 0, 0)]
                 if m == 0
-                else [(0, 0, 1), (0, m, 0)]
+                else [(0, 0, 1, 0), (0, m, 0, 0)]
                 if m <= 2
-                else None
+                else [(0, 0, 2, 0), (0, 3, 0, 0), (0, 1, 1, 0), (0, 0, 1, 2)]
             )
         else:
             # d=0: chars = t + 1 + h → t + h ≥ m − 1; d≥1: ≥ 3 ≥ m
             cells = (
-                [(0, 0, 0)]
+                [(0, 0, 0, 0)]
                 if m <= 1
-                else [(0, 0, 1)]
-                + [(h, m - 1 - h, 0) for h in range(m)]
+                else [(0, 0, 1, 0)]
+                + [(h, m - 1 - h, 0, 0) for h in range(m)]
             )
-        if cells is None:  # detect_gaps admitted it; defensive
-            raise ValueError(f"unsupported gap combo m={m} fp={fp} fn={fn}")
         out.append(cells)
     return out
 
@@ -946,6 +950,20 @@ def _gapk_docs(
                 cand(rx, run)
             ).select("doc_id", "pos")
         return pos_cache[rx]
+
+    shortpos_cache: dict[int, DataFrame] = {}
+
+    def long_at_prev(df: DataFrame, lg: int) -> DataFrame:
+        # keep starts a' whose PRECEDING slot holds a token of length
+        # ≥ lg (_gap_cells lg) — anti-join against the positions of the
+        # tiny set of shorter terms (the positions plane lists every
+        # token slot, so absence ⇔ long)
+        if lg not in shortpos_cache:
+            cand = vocab.filter(F.length("term") < lg).select("term_hash")
+            shortpos_cache[lg] = engine._positions_for_hashes(cand).select(
+                "doc_id", (F.col("pos") + 1).alias("a")
+            )
+        return df.join(shortpos_cache[lg], ["doc_id", "a"], "left_anti")
 
     start_cache: dict[tuple, DataFrame] = {}
 
@@ -1085,7 +1103,7 @@ def _gapk_docs(
                 # frontier levels group i must export = t-levels of its
                 # OUTGOING boundary's cells (always include 0)
                 out_lvls = [
-                    sorted({0} | {t for _, t, _ in cells[i]})
+                    sorted({0} | {t for _, t, _, _ in cells[i]})
                     for i in range(len(cells))
                 ]
 
@@ -1116,12 +1134,15 @@ def _gapk_docs(
                     def valid(tm, st=st, L=L, cc=cells[i - 1]):
                         # union of this boundary's cells, each a
                         # margin-variant start set under its frontier
-                        # threshold
+                        # threshold (+ the long-intermediate-token
+                        # filter where the cell carries one)
                         u = None
-                        for h, t, dm in cc:
+                        for h, t, dm, lg in cc:
+                            p = sget(hm=h, tm=tm)
+                            if lg:
+                                p = long_at_prev(p, lg)
                             p = (
-                                sget(hm=h, tm=tm)
-                                .join(st, "doc_id")
+                                p.join(st, "doc_id")
                                 .filter(
                                     F.col("a")
                                     >= F.col(f"e{t}") + (L + dm)

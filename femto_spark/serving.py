@@ -781,6 +781,7 @@ class LocalSearcher:
             raise ValueError(f"unsupported gap parts: {parts!r}")
 
         pmap_cache: dict[str, dict] = {}
+        shortpos_maps: dict[int, dict] = {}
 
         def pmap(rx: str, run: str):
             if rx not in pmap_cache:
@@ -921,7 +922,7 @@ class LocalSearcher:
                 # absent), boundary validity cells per _gap_cells
                 cells = _gap_cells(groups, links)
                 out_lvls = [
-                    sorted({0} | {t for _, t, _ in cells[i]})
+                    sorted({0} | {t for _, t, _, _ in cells[i]})
                     for i in range(len(cells))
                 ]
                 n_g = len(groups)
@@ -946,11 +947,31 @@ class LocalSearcher:
                         mvar_cache[key] = sget(i, hm=hm, tm=tm)
                     return mvar_cache[key]
 
-                def mmin(i, hm, tm, doc, lo):
+                def smap(lg):
+                    # positions of terms SHORTER than lg (a tiny term
+                    # set; full vocab stream — short terms carry no
+                    # 3-gram to prune by)
+                    if lg not in shortpos_maps:
+                        rows = self._vocab_matching(
+                            f"gap:len<{lg}", lambda t: len(t) < lg, ""
+                        )
+                        shortpos_maps[lg] = self._positions_map(
+                            [h for _, h in rows]
+                        )
+                    return shortpos_maps[lg]
+
+                def mmin(i, hm, tm, doc, lo, lg=0):
                     q = mmap(i, hm, tm).get(doc)
                     if q is None:
                         return _INF
                     q = q[q >= lo]
+                    if lg and q.size:
+                        # long-intermediate filter (_gap_cells lg): the
+                        # token at a'−1 must be ≥ lg chars — drop a'
+                        # whose predecessor slot is a short term
+                        sp = smap(lg).get(doc)
+                        if sp is not None:
+                            q = q[np.isin(q - 1, sp, invert=True)]
                     return int(q.min()) if q.size else _INF
 
                 for doc in common - result:
@@ -965,11 +986,12 @@ class LocalSearcher:
                         nfr = {}
                         for tm in lvls:
                             best = _INF
-                            for h, t, dm in cells[i - 1]:
+                            for h, t, dm, lg in cells[i - 1]:
                                 lo = fr.get(t, _INF) + L + dm
                                 if lo != _INF:
                                     best = min(
-                                        best, mmin(i, h, tm, doc, lo)
+                                        best,
+                                        mmin(i, h, tm, doc, lo, lg),
                                     )
                             nfr[tm] = best
                         if nfr[0] == _INF:

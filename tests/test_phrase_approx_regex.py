@@ -149,10 +149,13 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "ab .+a .+b c", "e .+a .*t", "a .*b .+c", ".+a .+b", "a.+ b.+",
         "erge .+fas", "ta.+ le .+fast",
         # interior MIN-m gaps (m ≤ 3): `.+.+`≡`.*..`≡`.{2,}` — margin-
-        # level cells; double-flush m≥2 / single-flush m≥3 stay scan
+        # level cells; flush combos add the long-intermediate-token
+        # filter (lg anti-join against short-term positions)
         "a.+.+b", "a.*..b", "da.{2,}ta", "erge.{2,}fas", "a.{3,}b",
         "a .+.+b", "a.{2,} b", "ta.{2,}le .*fast", "e.{2,}a.{3,}t",
         "data.{2,}table|merge.{3,}fast",
+        "a .{2,} b", "a .+.+ b", "data .{2,} table", "a .{3,} b",
+        "a .{3,}b", "erge.{3,} fas", "e .{2,} a .{2,} t",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -297,11 +300,11 @@ def test_infix_rejects_unsupported(engine):
         # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
         # positional plane can't see the first/last token's length)
         ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
-        # gap minima past _MAX_GAP_MIN, flush+min-m combos whose
-        # adjacency cells need an intermediate token's length, double
-        # boundary spaces; min-m interior gaps themselves (`a.+.+b`)
-        # are SUPPORTED since the margin-level cell chain
-        "a.{4,}b", "a .+.+ b", "a .{3,}b", "a  .*b", ".+ a.*b",
+        # gap minima past _MAX_GAP_MIN, double boundary spaces, guard
+        # on a flush edge; min-m gaps in EVERY flush combo (`a.+.+b`,
+        # `a .+.+ b`, `a .{3,}b`) are SUPPORTED since the margin-level
+        # cell chain + long-intermediate-token filter
+        "a.{4,}b", "a .{4,} b", "a  .*b", ".+ a.*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

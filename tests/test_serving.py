@@ -148,8 +148,9 @@ def test_infix_matches_engine(searcher, engine):
         "a .* b", "a .+ b", "able .* sc", "data .+ table",
         # single-flush `.+` gaps (margin-level frontier chain)
         "a .+b", "a.+ b", "data .+table", "merge.+ fast", "e .+a .*t",
-        # interior min-m gaps (_gap_cells)
+        # interior min-m gaps (_gap_cells, incl. lg long-token filter)
         "a.+.+b", "a.*..b", "da.{2,}ta", "a.{3,}b", "a .+.+b",
+        "a .{2,} b", "a .{3,}b", "data .{2,} table",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
