@@ -323,9 +323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # flush min-m combos: adjacency needs the INTERMEDIATE token's
     # length — the lg cell anti-joins the short terms' positions
-    # (query/infix._gapk_docs long_at_prev)
+    # (query/infix._gapk_docs long_at)
     q["fts_regex_infix_lggap"] = lambda s, d: _engine(s, d).infix_docs(
         "data .{2,} table|erge.{3,} fas|able .+.+ scan"
+    )
+    # >2-dot edge guards on gap chains, incl. on a boundary-exact
+    # (flush) edge — guard cells (query/infix._guard_cells)
+    q["fts_regex_infix_bigguard"] = lambda s, d: _engine(s, d).infix_docs(
+        "...erge.*fas|...data.+ table|able .+scan ..."
     )
     # nested groups: cross-token branch-expansion recurses; in-token
     # nested groups stay opaque rlike units
@@ -651,6 +656,12 @@ ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'data .{{2,}} table|erge.{{3,}} fas|able .+.+ scan')
+ORDER BY doc_id"""
+
+    o["fts_regex_infix_bigguard"] = f"""{_BASE}
+SELECT DISTINCT doc_id
+FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
+WHERE regexp_matches(s, '...erge.*fas|...data.+ table|able .+scan ...')
 ORDER BY doc_id"""
 
     o["fts_regex_infix_nested"] = f"""{_BASE}

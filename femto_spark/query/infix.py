@@ -65,11 +65,16 @@ only when the boundary-token matches leave enough head/tail margin
 chars for the gap, so the greedy chain carries one frontier per
 needed tail-margin level (_gap_cells; a margin-k start is also a
 margin-(k−1) start, which keeps the greedy propagation complete).
-Remaining scan-fallback residue: gap minima above _MAX_GAP_MIN,
-double-flush gaps with m ≥ 2 and single-flush with m ≥ 3 (their
-adjacency cells need an INTERMEDIATE token's length), edge guards
-longer than _MAX_EDGE_GUARD or on the same side as a boundary-exact
-chain edge, and the data-dependent interior-repetition caps above.
+Where a cell depends on the length of the ONE token adjacent to a
+group — flush min-m adjacency, edge guards up to _MAX_EDGE_GUARD
+(including on boundary-exact edges) — the lg filter decides it from
+the index: terms SHORTER than k are a tiny candidate set, and the
+positions plane lists every slot, so "long token at a+δ" is an
+anti-join against the short terms' positions (long_at, _guard_cells).
+Remaining scan-fallback residue: gap minima above _MAX_GAP_MIN and
+guard runs past _MAX_EDGE_GUARD (g = 4 on a flush edge) — their cells
+would need TWO token lengths at once — and the data-dependent
+interior-repetition caps above.
 
 This covers the reference's headline use (arbitrary infix literals
 crossing token boundaries, e.g. 'erge fas' matching "...merge fast...")
@@ -562,10 +567,11 @@ def _gap_min(m: "_re.Match") -> int:
 _EDGE_HEAD = _re.compile(r"^(\.*)\.(?:(\*)|(\+)|\{(\d+),\})")
 _EDGE_TAIL = _re.compile(r"\.(?:(\*)|(\+)|\{(\d+),\})(\.*)$")
 _MAX_GAPS = 4  # gap chains: 2^k merge combos, capped tiny
-# edge guard dots folded into a gap chain: exact only while a token at
-# position >= 1 guarantees >= 2 stream chars on its open side (one-char
-# token + space), i.e. for guards of length <= 2
-_MAX_EDGE_GUARD = 2
+# edge guard dots folded into a gap chain: guard-cell tables
+# (_guard_cells) are exact while at most ONE adjacent token's length
+# binds — g ≤ 4 on a plain edge, g ≤ 3 on a boundary-exact one; longer
+# runs need a multi-token lookback and fall to the scan
+_MAX_EDGE_GUARD = 4
 
 
 def streamline(pattern: str) -> str:
@@ -738,15 +744,14 @@ def detect_gaps(pattern: str):
     # an adjacency cell needs an INTERMEDIATE token's length (`a .{2,}
     # b`: one token between, its length decides), the long-token filter
     # (_gap_cells lg — an anti-join against the SHORT terms' positions,
-    # a tiny candidate set). A dot GUARD on the same side as a
-    # boundary-exact chain edge still falls to the scan (the guard
-    # needs the NEIGHBOR token's length at position 1, which is not a
-    # per-start property).
+    # a tiny candidate set). Edge GUARDS — including on a boundary-
+    # exact edge — close the same way (_guard_cells); only runs whose
+    # cells would need a multi-token lookback return None → scan.
     hE = [vs[0][0] == "" for vs in pvars]
     tE = [vs[0][-1] == "" for vs in pvars]
     if any(m > _MAX_GAP_MIN for m in mins):
         return None
-    if (head and hE[0]) or (tail and tE[-1]):
+    if _guard_cells(head, hE[0]) is None or _guard_cells(tail, tE[-1]) is None:
         return None
     return parts, mins, head, tail
 
@@ -900,6 +905,39 @@ def _gap_cells(groups, links):
     return out
 
 
+def _guard_cells(g: int, flush: bool):
+    """Edge-guard validity cells (j, dist_min, lg) for a run of g guard
+    dots streamline() left at the chain head (the tail mirrors with the
+    SUCCESSOR count in place of the position): a start at edge distance
+    `dist` (tokens strictly outside the group on that side) whose edge
+    slot carries j in-token guard dots has
+
+      non-flush:   chars outside = Σ_k (len_k + 1) + j ≥ 2·dist + j
+      flush edge:  chars = Σ_k (len_k + 1) − 1 ≥ 2·dist − 1   (the part
+                   consumed the boundary space; no in-token variant)
+
+    so for g ≤ 4 (g ≤ 3 on a flush edge) at most the ONE token adjacent
+    to the group ever binds — the lg field, evaluated like the gap
+    cells' long-token filter (anti-join against short-term positions).
+    g = 4 on a flush edge (or g ≥ 5) needs a two-token lookback →
+    None → scan."""
+    if g == 0:
+        return [(0, 0, 0)]
+    if flush:
+        if g == 1:
+            return [(0, 1, 0)]
+        if g <= 3:
+            return [(0, 2, 0), (0, 1, g)]
+        return None
+    if g <= 2:
+        return [(g, 0, 0), (0, 1, 0)]
+    if g == 3:
+        return [(3, 0, 0), (0, 2, 0), (1, 1, 0), (0, 1, 2)]
+    if g == 4:
+        return [(4, 0, 0), (0, 2, 0), (2, 1, 0), (1, 1, 2), (0, 1, 3)]
+    return None
+
+
 def _gapk_docs(
     engine,
     vocab,
@@ -921,15 +959,12 @@ def _gapk_docs(
     regex costs one gram-pruned vocab scan + one positions decode, and
     each distinct slot SET one join tree, shared across combinations.
 
-    Edge guards (detect_gaps head/tail ≤ _MAX_EDGE_GUARD): a head guard
-    admits group-0 starts at a ≥ 1 (≥ 2 stream chars precede any
-    non-first token) plus starts whose FIRST SLOT term matches
-    `.{h}<slot0-rx>` (the guard chars come from inside the token); a
-    tail guard admits last-group starts with end token a+L−1 ≤ dl−2
-    plus starts whose LAST SLOT term matches `<slotL-rx>.{t}`. For a
-    single group with BOTH guards the same match must carry both
-    margins, so the four (pos-edge × token-edge) cases union explicitly
-    — both slot guards at once for the all-in-token cell."""
+    Edge guards (what streamline() leaves of a `.+`/`.{m,}` edge)
+    evaluate through _guard_cells — each cell splits the guard chars
+    between in-token dots on the edge slot, whole outside tokens
+    (position / successor-count threshold), and the length of the ONE
+    adjacent token (long_at anti-join); a single group with both
+    guards unions the head × tail cell product (edge_starts)."""
     from itertools import product
 
     pvars = _gap_part_variants(parts)
@@ -951,19 +986,21 @@ def _gapk_docs(
             ).select("doc_id", "pos")
         return pos_cache[rx]
 
-    shortpos_cache: dict[int, DataFrame] = {}
+    shortpos_cache: dict[tuple, DataFrame] = {}
 
-    def long_at_prev(df: DataFrame, lg: int) -> DataFrame:
-        # keep starts a' whose PRECEDING slot holds a token of length
-        # ≥ lg (_gap_cells lg) — anti-join against the positions of the
-        # tiny set of shorter terms (the positions plane lists every
-        # token slot, so absence ⇔ long)
-        if lg not in shortpos_cache:
-            cand = vocab.filter(F.length("term") < lg).select("term_hash")
-            shortpos_cache[lg] = engine._positions_for_hashes(cand).select(
-                "doc_id", (F.col("pos") + 1).alias("a")
+    def long_at(df: DataFrame, lg: int, delta: int) -> DataFrame:
+        # keep starts a whose token at slot a+delta has length ≥ lg
+        # (gap cells: delta −1, the intermediate token; guard cells:
+        # −1 before the group / +L after it) — anti-join against the
+        # positions of the tiny set of shorter terms (the positions
+        # plane lists every token slot, so absence ⇔ long)
+        key = (lg, delta)
+        if key not in shortpos_cache:
+            c = vocab.filter(F.length("term") < lg).select("term_hash")
+            shortpos_cache[key] = engine._positions_for_hashes(c).select(
+                "doc_id", (F.col("pos") - delta).alias("a")
             )
-        return df.join(shortpos_cache[lg], ["doc_id", "a"], "left_anti")
+        return df.join(shortpos_cache[key], ["doc_id", "a"], "left_anti")
 
     start_cache: dict[tuple, DataFrame] = {}
 
@@ -978,16 +1015,6 @@ def _gapk_docs(
                 df = p if df is None else df.join(p, ["doc_id", "a"], "leftsemi")
             start_cache[key] = df
         return start_cache[key]
-
-    gh, gt = "." * head, "." * tail
-
-    def g_head(slots):
-        (o0, rx0, run0) = slots[0]
-        return [(o0, gh + rx0, run0)] + list(slots[1:])
-
-    def g_tail(slots):
-        (oL, rxL, runL) = slots[-1]
-        return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
     def vslots(slots, hm: int, tm: int):
         # margin slot variants (levels, _gap_cells): a HEAD margin of k
@@ -1026,25 +1053,45 @@ def _gapk_docs(
             df = cap_tail(df, L)
         return df
 
-    def head_starts(group, tm: int = 0) -> DataFrame:
-        if not head:  # detect_gaps: head guard ⇒ group 0 not head-empty
-            return starts_c(group, tm=tm)
+    def edge_starts(
+        group, hm: int = 0, tm: int = 0, use_head=False, use_tail=False
+    ) -> DataFrame:
+        """Starts of an EDGE group (chain head / tail / single) under
+        the streamline guard runs: the head × tail guard-cell product
+        (_guard_cells), unioned. A cell's j guard dots fold into the
+        edge slot's term regex exactly like a margin level (a guard and
+        a margin never target the same slot side), dist_min becomes a
+        position / successor-count filter, and lg the long-adjacent-
+        token anti-join."""
         slots, L, hE, tE = group
-        base = starts_c(group, tm=tm).filter(F.col("a") >= 1)
-        guarded = starts_of(g_head(vslots(slots, 0, tm)))
-        if tE:
-            guarded = cap_tail(guarded, L)
-        return base.unionByName(guarded)
+        hcells = _guard_cells(head, hE) if (use_head and head) else [(0, 0, 0)]
+        tcells = _guard_cells(tail, tE) if (use_tail and tail) else [(0, 0, 0)]
+        u = None
+        for jh, pmin, lgh in hcells:
+            for jt, smin, lgt in tcells:
+                s = starts_of(vslots(slots, hm + jh, tm + jt))
+                if hE or pmin:
+                    s = s.filter(F.col("a") >= max(1 if hE else 0, pmin))
+                if tE:
+                    s = cap_tail(s, L)
+                if smin:
+                    s = (
+                        s.join(engine._docs, "doc_id")
+                        .filter(F.col("a") <= F.col("dl") - L - smin)
+                        .select("doc_id", "a")
+                    )
+                if lgh:
+                    s = long_at(s, lgh, -1)
+                if lgt:
+                    s = long_at(s, lgt, L)
+                u = s if u is None else u.unionByName(s)
+        return u
+
+    def head_starts(group, tm: int = 0) -> DataFrame:
+        return edge_starts(group, tm=tm, use_head=True)
 
     def tail_starts(group, hm: int = 0) -> DataFrame:
-        if not tail:
-            return starts_c(group, hm=hm)
-        slots, L, hE, tE = group
-        base = cap_tail(starts_c(group, hm=hm), L)
-        guarded = starts_of(g_tail(vslots(slots, hm, 0)))
-        if hE:
-            guarded = guarded.filter(F.col("a") >= 1)
-        return base.unionByName(guarded)
+        return edge_starts(group, hm=hm, use_tail=True)
 
     def single_group_docs(group) -> DataFrame:
         slots, L, hE, tE = group
@@ -1056,27 +1103,9 @@ def _gapk_docs(
                     "doc_id"
                 )
             return starts_c(group).select("doc_id")
-        a = starts_c(group)
-        if head:
-            a = a.filter(F.col("a") >= 1)
-        if tail:
-            a = cap_tail(a, L)
-        d = a.select("doc_id")
-        if head:
-            b = starts_of(g_head(slots))
-            if tE or tail:
-                b = cap_tail(b, L)
-            d = d.union(b.select("doc_id"))
-        if tail:
-            c = starts_of(g_tail(slots))
-            if hE or head:
-                c = c.filter(F.col("a") >= 1)
-            d = d.union(c.select("doc_id"))
-            if head:
-                d = d.union(
-                    starts_of(g_tail(g_head(slots))).select("doc_id")
-                )
-        return d
+        return edge_starts(group, use_head=True, use_tail=True).select(
+            "doc_id"
+        )
 
     result: DataFrame | None = None
     for pvar in product(*pvars):
@@ -1140,7 +1169,7 @@ def _gapk_docs(
                         for h, t, dm, lg in cc:
                             p = sget(hm=h, tm=tm)
                             if lg:
-                                p = long_at_prev(p, lg)
+                                p = long_at(p, lg, -1)
                             p = (
                                 p.join(st, "doc_id")
                                 .filter(

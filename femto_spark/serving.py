@@ -774,6 +774,7 @@ class LocalSearcher:
             _gap_cells,
             _gap_part_variants,
             _gap_slot_groups,
+            _guard_cells,
         )
 
         pvars = _gap_part_variants(parts)
@@ -782,6 +783,18 @@ class LocalSearcher:
 
         pmap_cache: dict[str, dict] = {}
         shortpos_maps: dict[int, dict] = {}
+
+        def smap(lg):
+            # positions of terms SHORTER than lg (a tiny term set; full
+            # vocab stream — short terms carry no 3-gram to prune by)
+            if lg not in shortpos_maps:
+                rows = self._vocab_matching(
+                    f"gap:len<{lg}", lambda t: len(t) < lg, ""
+                )
+                shortpos_maps[lg] = self._positions_map(
+                    [h for _, h in rows]
+                )
+            return shortpos_maps[lg]
 
         def pmap(rx: str, run: str):
             if rx not in pmap_cache:
@@ -810,16 +823,6 @@ class LocalSearcher:
                         }
                 start_cache[key] = m or {}
             return start_cache[key]
-
-        gh, gt = "." * head, "." * tail
-
-        def g_head(slots):
-            (o0, rx0, run0) = slots[0]
-            return [(o0, gh + rx0, run0)] + list(slots[1:])
-
-        def g_tail(slots):
-            (oL, rxL, runL) = slots[-1]
-            return list(slots[:-1]) + [(oL, rxL + gt, runL)]
 
         def vslots(slots, hm: int, tm: int):
             # margin-level variants for flush/min-m gaps — see the
@@ -863,45 +866,71 @@ class LocalSearcher:
                 m = cap_tail(m, L)
             return m
 
-        def head_starts(group, tm: int = 0):
-            if not head:
-                return starts_c(group, tm=tm)
+        def long_at(mp: dict, lg: int, delta: int) -> dict:
+            # keep starts a whose token at slot a+delta has length
+            # >= lg — see the Spark plane (query/infix long_at)
+            sm = smap(lg)
+            out = {}
+            for doc, p in mp.items():
+                sp = sm.get(doc)
+                q = (
+                    p
+                    if sp is None
+                    else p[np.isin(p + delta, sp, invert=True)]
+                )
+                if q.size:
+                    out[doc] = q
+            return out
+
+        def edge_starts(group, hm=0, tm=0, use_head=False, use_tail=False):
+            """Head x tail guard-cell product (query/infix._guard_cells)
+            — the serving mirror of edge_starts there."""
             slots, L, hE, tE = group
-            guarded = starts_of(g_head(vslots(slots, 0, tm)))
-            if tE:
-                guarded = cap_tail(guarded, L)
-            return merged(pos_ge1(starts_c(group, tm=tm)), guarded)
+            hcells = (
+                _guard_cells(head, hE) if (use_head and head) else [(0, 0, 0)]
+            )
+            tcells = (
+                _guard_cells(tail, tE) if (use_tail and tail) else [(0, 0, 0)]
+            )
+            u: dict = {}
+            for jh, pmin, lgh in hcells:
+                for jt, smin, lgt in tcells:
+                    m = starts_of(vslots(slots, hm + jh, tm + jt))
+                    lo = max(1 if hE else 0, pmin)
+                    if lo:
+                        m = {
+                            doc: q
+                            for doc, p in m.items()
+                            if (q := p[p >= lo]).size
+                        }
+                    if tE:
+                        m = cap_tail(m, L)
+                    if smin:
+                        dls = self._doc_dls(set(m))
+                        m = {
+                            doc: q
+                            for doc, p in m.items()
+                            if (
+                                q := p[p <= dls.get(doc, 0) - L - smin]
+                            ).size
+                        }
+                    if lgh:
+                        m = long_at(m, lgh, -1)
+                    if lgt:
+                        m = long_at(m, lgt, L)
+                    u = merged(u, m)
+            return u
+
+        def head_starts(group, tm: int = 0):
+            return edge_starts(group, tm=tm, use_head=True)
 
         def tail_starts(group, hm: int = 0):
-            if not tail:
-                return starts_c(group, hm=hm)
-            slots, L, hE, tE = group
-            guarded = starts_of(g_tail(vslots(slots, hm, 0)))
-            if hE:
-                guarded = pos_ge1(guarded)
-            return merged(cap_tail(starts_c(group, hm=hm), L), guarded)
+            return edge_starts(group, hm=hm, use_tail=True)
 
         def single_docs(group) -> set[int]:
-            slots, L, hE, tE = group
             if not head and not tail:
                 return set(starts_c(group))
-            a = starts_c(group)
-            if head:
-                a = pos_ge1(a)
-            if tail:
-                a = cap_tail(a, L)
-            docs = set(a)
-            if head:
-                b = starts_of(g_head(slots))
-                docs |= set(cap_tail(b, L) if (tE or tail) else b)
-            if tail:
-                c = starts_of(g_tail(slots))
-                if hE or head:
-                    c = pos_ge1(c)
-                docs |= set(c)
-                if head:
-                    docs |= set(starts_of(g_tail(g_head(slots))))
-            return docs
+            return set(edge_starts(group, use_head=True, use_tail=True))
 
         result: set[int] = set()
         for pvar in product(*pvars):
@@ -946,19 +975,6 @@ class LocalSearcher:
                     if key not in mvar_cache:
                         mvar_cache[key] = sget(i, hm=hm, tm=tm)
                     return mvar_cache[key]
-
-                def smap(lg):
-                    # positions of terms SHORTER than lg (a tiny term
-                    # set; full vocab stream — short terms carry no
-                    # 3-gram to prune by)
-                    if lg not in shortpos_maps:
-                        rows = self._vocab_matching(
-                            f"gap:len<{lg}", lambda t: len(t) < lg, ""
-                        )
-                        shortpos_maps[lg] = self._positions_map(
-                            [h for _, h in rows]
-                        )
-                    return shortpos_maps[lg]
 
                 def mmin(i, hm, tm, doc, lo, lg=0):
                     q = mmap(i, hm, tm).get(doc)

@@ -65,10 +65,14 @@ _PATTERNS = st.builds(
     + parts[0]
     + "".join(g + p for g, p in zip(gaps, parts[1:]))
     + tail,
-    head=st.sampled_from(["", "", ".*", ".+", ".", ".."]),
+    head=st.sampled_from(["", "", ".*", ".+", ".", "..", "...", "...."]),
     parts=st.lists(_parts(None), min_size=2, max_size=4),
-    gaps=st.lists(st.sampled_from([".*", ".+"]), min_size=1, max_size=3),
-    tail=st.sampled_from(["", "", ".*", ".+", ".", ".."]),
+    gaps=st.lists(
+        st.sampled_from([".*", ".+", ".{2,}", ".{3,}"]),
+        min_size=1,
+        max_size=3,
+    ),
+    tail=st.sampled_from(["", "", ".*", ".+", ".", "..", "...", "...."]),
 )
 
 

@@ -156,6 +156,9 @@ def test_infix_docs_matches_token_stream_regex(spark, engine, docs_sf001):
         "data.{2,}table|merge.{3,}fast",
         "a .{2,} b", "a .+.+ b", "data .{2,} table", "a .{3,} b",
         "a .{3,}b", "erge.{3,} fas", "e .{2,} a .{2,} t",
+        # >2-dot guards (guard cells, g ≤ 4) and guards on flush edges
+        "...a.*b", "....erge.+fas", "a.*b...", ". a.*b", ".. a .+b",
+        ".+ a.*b", "...a .{2,} b", "data.* table ..", ".{3,}a.*b...",
         # nested groups: in-token stay opaque rlike units; cross-token
         # branch-expand recursively
         "(a(b|c))d", "s(c(a|b)n|low)", "x(y(z|q))?a", "ab(c(d|e))+",
@@ -297,14 +300,14 @@ def test_infix_rejects_unsupported(engine):
         "(a b){0,9}",                    # bounded repetition too wide
         "((b|c)?)d",                     # group branch can match empty
         "c(x* )+d",                      # rep body can match empty
-        # edge guard run > _MAX_EDGE_GUARD + interior gap chain (the
-        # positional plane can't see the first/last token's length)
-        ".{3,}a.*b", "a.*b.{4,}", "...a.*b",
-        # gap minima past _MAX_GAP_MIN, double boundary spaces, guard
-        # on a flush edge; min-m gaps in EVERY flush combo (`a.+.+b`,
-        # `a .+.+ b`, `a .{3,}b`) are SUPPORTED since the margin-level
-        # cell chain + long-intermediate-token filter
-        "a.{4,}b", "a .{4,} b", "a  .*b", ".+ a.*b",
+        # edge guard run > _MAX_EDGE_GUARD (g ≥ 5 — multi-token
+        # lookback) or g = 4 on a flush edge; guards ≤ 4 (≤ 3 flush)
+        # are SUPPORTED via _guard_cells
+        ".{5,}a.*b", "a.*b.{5,}", ".....a.*b", ".... a.*b",
+        # gap minima past _MAX_GAP_MIN, double boundary spaces; min-m
+        # gaps in every flush combo are SUPPORTED (margin-level cells
+        # + long-adjacent-token filter)
+        "a.{4,}b", "a .{4,} b", "a  .*b",
     ]:
         with _pt.raises(ValueError):
             engine.infix_docs(bad)

@@ -151,6 +151,8 @@ def test_infix_matches_engine(searcher, engine):
         # interior min-m gaps (_gap_cells, incl. lg long-token filter)
         "a.+.+b", "a.*..b", "da.{2,}ta", "a.{3,}b", "a .+.+b",
         "a .{2,} b", "a .{3,}b", "data .{2,} table",
+        # >2-dot guards and flush-edge guards (_guard_cells)
+        "...a.*b", "....a.+b", ". a.*b", ".. a .+b", "a.*b...",
         # nested groups
         "(a(b|c))d", "s(c(a|b)n|low)", "me(r(ge|ta) fa)st",
         # edge-unbounded group repetition (rewritten away)
