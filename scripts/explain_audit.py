@@ -351,6 +351,26 @@ def main() -> int:
         ],
     )
 
+    # 13. margin/guard-cell chain (flush min-m gap + big edge guard):
+    # the cell unions stay anchor semi-joins; the long-adjacent-token
+    # cell is a LeftAnti against the short terms' positions — still no
+    # CartesianProduct and no corpus scan
+    check(
+        "infix cell chain `...data .{2,} table` — margin cells + lg anti-join",
+        eng.infix_docs("...data .{2,} table"),
+        [
+            ("no CartesianProduct", lambda p: "CartesianProduct" not in p),
+            (
+                "long-token cell is a LeftAnti join",
+                lambda p: "LeftAnti" in p,
+            ),
+            (
+                "no corpus text column in any scan",
+                lambda p: "text#" not in p.split("ReadSchema")[-1],
+            ),
+        ],
+    )
+
     # write report
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
