@@ -247,6 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_phrase_limit"] = lambda s, d: _engine(s, d).phrase_limit(
         "data table", k=5
     )
+    # LIMIT-pushdown for the infix/regex plane: each adaptive round
+    # evaluates the full infix machinery through a doc-range-capped
+    # engine view (query/engine._CappedView) — grp partitions past the
+    # cap never scan, hot terms' posting tails never decode
+    q["fts_regex_infix_limit"] = lambda s, d: _engine(s, d).infix_limit(
+        "erge.*fas", k=5
+    )
     q["fts_approx_terms"] = lambda s, d: _engine(s, d).approx_terms("tabl", 1)
     q["fts_regex_docs"] = lambda s, d: _engine(s, d).regex_docs("^mer|s(can|low)$")
     # substring/infix over the INDEXED token stream ('.' may match the
@@ -673,6 +680,8 @@ WHERE regexp_matches(s, 'me(r(ge|ta) fa)st') ORDER BY doc_id"""
 SELECT DISTINCT doc_id
 FROM (SELECT doc_id, array_to_string(toks, ' ') AS s FROM docs_tok)
 WHERE regexp_matches(s, 'erge.*fas') ORDER BY doc_id"""
+
+    o["fts_regex_infix_limit"] = o["fts_regex_infix_gap"] + " LIMIT 5"
 
     o["fts_regex_infix_edgegrp"] = f"""{_BASE}
 SELECT DISTINCT doc_id

@@ -48,6 +48,34 @@ def test_phrase_limit_multi_round(engine, oracle_sf001):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "pat,k,p0",
+    [
+        ("erge.fas", 5, None),
+        ("erge.*fas", 7, None),
+        ("data .+table", 5, 2),      # multi-round, margin chain
+        ("a .{2,} b", 4, 3),         # multi-round, lg cell
+        ("...erge.*fas", 5, 10),     # guard cells
+        ("zzznope.*xx", 5, None),    # no matches: empty, 2-round worst
+    ],
+)
+def test_infix_limit_first_k(engine, docs_sf001, pat, k, p0):
+    """infix_limit ≡ infix_docs ORDER BY doc_id LIMIT k — every round
+    runs the full infix machinery through the doc-range-capped engine
+    view, so all planes (variants / DP / gap cells) are reachable."""
+    import re
+
+    from femto_spark.tokenizer import tokenize
+
+    want = sorted(
+        d
+        for d, t in docs_sf001.items()
+        if re.search(pat, " ".join(tokenize(t)))
+    )[:k]
+    got = [r["doc_id"] for r in engine.infix_limit(pat, k, prefix0=p0).collect()]
+    assert got == want, (pat, k, p0)
+
+
 def test_phrase_single_term(engine, oracle_sf001):
     want = oracle_sf001.phrase("merge")
     got = [
