@@ -512,7 +512,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_embedding_neardup_lsh"] = _neardup_lsh
 
-    return q
+    # ---- driver-window rotation (round-5 verdict Next #1) ----
+    # The driver checks the FIRST 50 entries in dict order; with 67
+    # entries, 17 rotate out each round. Policy (CLAUDE.md "Driver
+    # contract"): entries rotate to the tail only after 2+ consecutive
+    # green driver rounds, and no entry sits out two rounds in a row.
+    # Round 6: the mature infix family + extend/suggest/range entries
+    # (green r4+r5) rotate out; the dedup/ANN/textstats/scan/batch
+    # family (out of window in r5) rotates back in.
+    _tail_r6 = [
+        "fts_regex_infix_class", "fts_regex_infix_alt",
+        "fts_regex_infix_group", "fts_regex_infix_dots",
+        "fts_regex_infix_gap", "fts_regex_infix_gap3",
+        "fts_regex_infix_edge", "fts_regex_infix_guardgap",
+        "fts_regex_infix_phrasegap", "fts_regex_infix_boundary",
+        "fts_regex_infix_nested", "fts_regex_infix_edgegrp",
+        "fts_regex_infix_repgrp", "fts_extend", "fts_extend_left",
+        "fts_suggest", "fts_docs_for_range",
+    ]
+    return {
+        **{k: v for k, v in q.items() if k not in _tail_r6},
+        **{k: q[k] for k in _tail_r6},
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -41,29 +41,97 @@ def brute_force_topk(
     qid_col: str = "query_id",
     qvec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast the query set, score every
-    corpus vector JVM-side, window top-k. Returns
-    (query_id, vec_id, cos_sim, rank) with deterministic tie-break
-    (cos desc, vec_id asc); cos rounded half-up to 6 dp for cross-engine
-    comparability."""
+    """Exact cosine top-k per query: the (small, interactive) query set is
+    collected driver-side — exactly what the former `broadcast(q)` did
+    internally — and each corpus partition scores ALL its vectors against
+    all queries with ONE float64 GEMM (mapInPandas), keeping its local
+    top-k per query; a window over the (partitions × queries × k)
+    candidates yields the global top-k. Replaces the per-pair
+    aggregate(zip_with(...)) plan whose interpreted lambda evaluation was
+    ~10× the BLAS cost (guide §4.2 — hand whole batches to native code).
+
+    Output is bit-identical to the per-pair SQL fold: near-boundary
+    entries (|cos·1e6+0.5 − nearest int| < 1e-6; BLAS drift bound ~1e-8)
+    are recomputed with the canonical strict left-fold before rounding —
+    the same guard embedding_neardup_pairs carries. Zero-norm vectors
+    score NULL (IEEE NaN), ordered last like the SQL plan's NULLs.
+    Returns (query_id, vec_id, cos_sim, rank) with deterministic
+    tie-break (cos desc, vec_id asc); cos rounded half-up to 6 dp."""
+    import pandas as pd
     from pyspark.sql import Window
 
-    q = queries.select(
+    qrows = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")
-    )
-    scored = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-    ).crossJoin(F.broadcast(q))
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        F.expr(
-            f"floor(({cosine_expr('vec', 'qvec')}) * 1e6 + 0.5) / 1e6"
-        ).alias("cos_sim"),
-    )
+    ).collect()
+    q_t = queries.schema[qid_col].dataType.simpleString()
+    v_t = vectors.schema[id_col].dataType.simpleString()
+    schema = f"query_id {q_t}, vec_id {v_t}, cos_sim double"
+    src = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if not qrows:
+        cand = src.limit(0).select(
+            F.col("vec_id").cast(q_t).alias("query_id"), "vec_id",
+            F.lit(None).cast("double").alias("cos_sim"),
+        )
+    else:
+        qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+        qm = np.array([list(r["qvec"]) for r in qrows], dtype=np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+
+        def _score(batches):
+            # accumulate per-partition candidates, emit one top-k frame
+            ids_parts, cos_parts = [], []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = pdf["vec_id"].to_numpy(np.int64)
+                ma = np.array(list(pdf["v"]), dtype=np.float64)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = (ma @ qm.T) / np.outer(na, qn)
+                # boundary guard (see docstring): canonical left-fold
+                x = cos * 1e6 + 0.5
+                with np.errstate(invalid="ignore"):
+                    sus = np.abs(x - np.rint(x)) < 1e-6
+                for i, j in zip(*np.nonzero(sus)):
+                    dot = float(np.cumsum(ma[i] * qm[j])[-1])
+                    nna = math.sqrt(float(np.cumsum(ma[i] * ma[i])[-1]))
+                    nnb = math.sqrt(float(np.cumsum(qm[j] * qm[j])[-1]))
+                    if nna * nnb != 0.0:
+                        cos[i, j] = dot / (nna * nnb)
+                cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                cos[~np.isfinite(cos)] = np.nan
+                if cos.shape[0] > k:
+                    # per-batch prune to k per query ((cos desc, id asc);
+                    # lexsort sends NaN last, matching SQL NULLS LAST)
+                    keep = np.zeros(cos.shape[0], dtype=bool)
+                    for j in range(qm.shape[0]):
+                        order = np.lexsort((ia, -cos[:, j]))[:k]
+                        keep[order] = True
+                    ia, cos = ia[keep], cos[keep]
+                ids_parts.append(ia)
+                cos_parts.append(cos)
+            if not ids_parts:
+                return
+            ia = np.concatenate(ids_parts)
+            cos = np.concatenate(cos_parts, axis=0)
+            out_q, out_i, out_c = [], [], []
+            for j in range(qm.shape[0]):
+                order = np.lexsort((ia, -cos[:, j]))[:k]
+                out_q.append(np.full(order.size, qids[j], dtype=np.int64))
+                out_i.append(ia[order])
+                out_c.append(cos[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
+
+        cand = src.mapInPandas(_score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )

@@ -711,16 +711,19 @@ def detect_gaps(pattern: str):
     (no token sharing beyond the merged cases), decided greedily —
     earliest feasible start per group (_gapk_docs).
 
-    Edge-guard exactness (why _MAX_EDGE_GUARD = 2): a head guard of g
+    Edge-guard exactness (why _MAX_EDGE_GUARD = 4): a head guard of g
     dots requires g stream chars before the group-0 match start. A match
-    starting in a token at position a ≥ 1 always has ≥ 2 chars before it
-    (the shortest possible preceding token plus its space), so for g ≤ 2
-    the guard only constrains position-0 matches — where the g chars
-    must come from inside the token, i.e. the group's FIRST slot must
-    match `.{g}<slot-regex>`. Symmetrically at the tail with the doc's
-    token count and the group's LAST slot. For g ≥ 3 a position-1 match
-    needs the FIRST TOKEN'S LENGTH, which the positional plane doesn't
-    carry — those fall to the scan."""
+    at token position a has exactly a token lengths plus a spaces before
+    it, so _guard_cells splits the g dots per candidate position into
+    in-token dots / whole outside tokens / the ADJACENT token's length:
+    for g ≤ 4 (g ≤ 3 on a boundary-exact/flush edge) every split needs
+    AT MOST ONE unknown token length, which the lg cell answers via the
+    anti-join against the short terms' positions (len < k terms are a
+    tiny candidate set; absence in the positions plane ⇔ long).
+    Symmetrically at the tail with the doc's token count and the
+    group's LAST slot. The residue that still falls to the scan: g ≥ 5,
+    or g = 4 on a flush edge — those splits need TWO token lengths at
+    once (a multi-delta ¬(short ∧ short) union, not yet implemented)."""
     pattern = _fold_gap_runs(pattern)
     ms = list(_GAP_RX.finditer(pattern))
     if not 1 <= len(ms) <= _MAX_GAPS:

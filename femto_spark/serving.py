@@ -102,6 +102,12 @@ class LocalSearcher:
         self._cache_terms = cache_terms
         self._pos_cache: OrderedDict[int, tuple] = OrderedDict()
         self._cache_pos_terms = max(64, cache_terms // 16)
+        # decoded (doc, tf, dl) arrays per term — the varint decode is
+        # pure and was re-run on EVERY warm search call (profiled ~10 of
+        # the 14 ms warm-search latency at 50k docs); same LRU shape as
+        # the row cache, ~3 int64 arrays of df entries per term
+        self._dec_cache: OrderedDict[int, tuple] = OrderedDict()
+        self._cache_dec_terms = max(64, cache_terms // 8)
         # demand-paged vocab (see _vocab_matching): LRU of pruned pages +
         # a counter of vocab rows ever materialized (tests cap it; a
         # 10^9-term vocabulary must never become process-resident)
@@ -193,19 +199,29 @@ class LocalSearcher:
         return out
 
     def _decoded(self, h: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc, tf, dl) across the term's shards, doc-sorted."""
+        """(doc, tf, dl) across the term's shards, doc-sorted; decoded
+        arrays are LRU-cached (the decode is pure — re-running it per
+        warm search call dominated the serving latency)."""
+        if h in self._dec_cache:
+            self._dec_cache.move_to_end(h)
+            return self._dec_cache[h]
         parts = [
             decode_postings(bytes(r["postings"]), r["n"], r["tf_off"], r["dl_off"])
             for r in self._rows([h])[h]
         ]
         if not parts:
             z = np.empty(0, dtype=np.int64)
-            return z, z, z
-        doc = np.concatenate([p[0] for p in parts])
-        tf = np.concatenate([p[1] for p in parts])
-        dl = np.concatenate([p[2] for p in parts])
-        order = np.argsort(doc, kind="stable")  # shards are doc-disjoint
-        return doc[order], tf[order], dl[order]
+            out = (z, z, z)
+        else:
+            doc = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            order = np.argsort(doc, kind="stable")  # shards are doc-disjoint
+            out = (doc[order], tf[order], dl[order])
+        self._dec_cache[h] = out
+        while len(self._dec_cache) > self._cache_dec_terms:
+            self._dec_cache.popitem(last=False)
+        return out
 
     # -- queries -----------------------------------------------------------
 
