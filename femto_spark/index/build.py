@@ -615,10 +615,20 @@ def build_index(
         return not (resume and _committed(out_dir, name))
 
     tokens_expr = spark_tokens_expr(text_col)
+    n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Map-side parallelism guard: a small/single-file corpus scans as ONE
+    # input split and the tokenize projection evaluates BELOW the first
+    # exchange — so the whole tokenize (the build's per-byte cost) ran in
+    # a single task. Repartition the RAW rows up to the build parallelism
+    # first so tokenize runs above the exchange (guide §2.5/§6); at scale
+    # the corpus already has >= n_part splits and this is a no-op. (The
+    # later partials repartition guard stays: it covers resumed builds
+    # where only that stage runs.)
+    if corpus.rdd.getNumPartitions() < n_part:
+        corpus = corpus.repartition(n_part)
     toks = corpus.select(
         F.col(id_col).alias("doc_id"), F.expr(tokens_expr).alias("tokens")
     )
-    n_part = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # three stages consume the tokenized corpus (docs, vocab, partials) —
     # persist it once instead of re-scanning + re-tokenizing per stage
@@ -709,7 +719,30 @@ def build_index(
         partials.write.mode("overwrite").parquet(partials_path)
         return time.time() - t0
 
-    overlap = os.environ.get("FEMTO_BUILD_OVERLAP", "0") == "1"
+    overlap_env = os.environ.get("FEMTO_BUILD_OVERLAP", "auto")
+    if overlap_env == "auto":
+        # Adaptive (guide §2.6): the three token-consuming stages overlap
+        # when the shared toks cache fits memory — Campaign E measured
+        # overlap −23%/−8% at 2M docs (~2 GB input, cache-resident) and
+        # sequential +14-17% at 5M (cache spills, scans thrash; Campaign
+        # E″) — so gate on input bytes, not on a hard-coded mode. At
+        # deployment scale each executor's share is far into the spill
+        # regime, so big inputs keep the sequential default; non-file
+        # sources (generated test corpora) have unknown size → sequential.
+        limit = int(
+            os.environ.get("FEMTO_OVERLAP_MAX_INPUT_BYTES", str(3 << 30))
+        )
+        try:
+            files = [
+                f[len("file:"):] if f.startswith("file:") else f
+                for f in corpus.inputFiles()
+            ]
+            sz = sum(os.path.getsize(f) for f in files)
+        except Exception:
+            sz = 0
+        overlap = 0 < sz <= limit
+    else:
+        overlap = overlap_env == "1"
     if len(tok_stages) == 3 and overlap:
         # all three token-consuming stages run → launch them from driver
         # THREADS over the shared persisted toks (Spark runs concurrent
@@ -821,28 +854,41 @@ def build_index(
         if not catalog_table:
             _fresh(os.path.join(out_dir, "termstats"))
             _fresh(os.path.join(out_dir, "manifest"))
-        io.replace(
-            ix.groupBy("term_hash").agg(
-                F.sum("n").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.count("*").alias("n_shards"),
-            ),
-            "termstats",
-        )
-        # per-partition lineage manifest (FEMTO REPORT analogue)
-        io.replace(
-            ix.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.countDistinct("term_hash").alias("n_terms"),
-                F.sum("n").alias("n_postings"),
-                F.sum(F.length("postings")).alias("posting_bytes"),
-                F.sum(F.length("positions")).alias("position_bytes"),
+        # the two header aggregations are independent scans of the (small)
+        # committed index — run them as concurrent jobs so their driver
+        # shares (planning, parquet listing/commit) overlap (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_termstats():
+            io.replace(
+                ix.groupBy("term_hash").agg(
+                    F.sum("n").alias("df"),
+                    F.sum("cf").alias("cf"),
+                    F.count("*").alias("n_shards"),
+                ),
+                "termstats",
             )
-            .withColumn("stage", F.lit("index"))
-            .withColumn("status", F.lit("committed")),
-            "manifest",
-        )
+
+        def _write_manifest():
+            # per-partition lineage manifest (FEMTO REPORT analogue)
+            io.replace(
+                ix.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.countDistinct("term_hash").alias("n_terms"),
+                    F.sum("n").alias("n_postings"),
+                    F.sum(F.length("postings")).alias("posting_bytes"),
+                    F.sum(F.length("positions")).alias("position_bytes"),
+                )
+                .withColumn("stage", F.lit("index"))
+                .withColumn("status", F.lit("committed")),
+                "manifest",
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = [pool.submit(_write_termstats), pool.submit(_write_manifest)]
+            for f in fs:
+                f.result()
         dt = time.time() - t0
         _commit(out_dir, "termstats", {"secs": dt})
         report["stages"]["termstats"] = dt

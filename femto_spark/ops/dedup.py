@@ -43,6 +43,23 @@ def _minhash_coeffs(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Map-side parallelism guard: a small or single-file corpus scans as
+    ONE input split, and Catalyst evaluates projections below the first
+    exchange — so the expensive tokenize + shingle-hash map stage ran in
+    a single task exactly when the cluster was idle (profiled 4.5 s of
+    the 12 s minhash op at 50k docs on local[32]). Round-robin
+    repartition the RAW rows up to the session's parallelism BEFORE the
+    heavy projection so it runs above the exchange (guide §2.5/§6). At
+    scale the input already has >= cluster partitions and this is a
+    no-op; the shuffle moves only the raw text rows once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _barrier(df: DataFrame) -> DataFrame:
     """Materialize `df` once for multiple downstream consumers WITHOUT
     pinning executor storage memory: a DISK_ONLY localCheckpoint truncates
@@ -86,7 +103,7 @@ def shingles(corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text") ->
     that references the raw tokenize expression re-evaluates it per
     element (no common-subexpression elimination inside higher-order
     functions → O(len²) per doc; measured 8.5 s vs ~1 s at 5k docs)."""
-    toked = corpus.select(
+    toked = _spread(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("toks"),
     )
@@ -140,7 +157,7 @@ def shingle_hashes(
     INVARIANT consumers (MinHash: min over a multiset equals min over
     its set), the biggest data-volume stage of the pipeline disappears."""
     cols = _shingle_cols(bits)
-    toked = corpus.select(
+    toked = _spread(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.expr(spark_tokens_expr(text_col)).alias("toks"),
     )
@@ -230,6 +247,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hash_arrays(
+    corpus: DataFrame, n: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """(doc_id, hs array<bigint>) — each doc's word-n-gram xxhash64 array
+    in one row (duplicates kept). The per-doc ARRAY form is the zero-
+    shuffle source for MinHash signatures, and `explode(hs)` restates
+    shingle_hashes(distinct=False, bits=64) exactly — minhash_lsh_pairs
+    computes this ONCE and feeds both its signature and verify passes
+    (the former flow tokenized + hashed the corpus twice)."""
+    toked = _spread(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_tokens_expr(text_col)).alias("toks"),
+    )
+    expr = (
+        f"case when size(toks) >= {n} then"
+        f" transform(sequence(0, size(toks) - {n}),"
+        f" i -> xxhash64(array_join(slice(toks, i + 1, {n}), ' ')))"
+        f" else cast(array() as array<bigint>) end"
+    )
+    return toked.select("doc_id", F.expr(expr).alias("hs"))
+
+
 def minhash_signatures(
     corpus: DataFrame | None,
     n_hashes: int = 64,
@@ -237,6 +276,7 @@ def minhash_signatures(
     id_col="doc_id",
     text_col="text",
     shingle_hashes: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures over word n-grams —
     ZERO shuffles: a doc's shingles never leave its corpus row, so the
@@ -251,6 +291,10 @@ def minhash_signatures(
 
     `shingle_hashes` (doc_id, h — possibly with duplicates) runs the
     grouped fallback for callers that already hold an exploded stream.
+    `shingle_arrays` (doc_id, hs array — shingle_hash_arrays' shape)
+    feeds the row path directly for callers that already materialized
+    the per-doc arrays (minhash_lsh_pairs shares one table between the
+    signature and verify passes).
     """
     a_co, b_co = _minhash_coeffs(n_hashes)
 
@@ -308,18 +352,12 @@ def minhash_signatures(
                 sigs = perm_min(flat, starts)
                 yield pd.DataFrame({"doc_id": doc[lo:hi], "sig": list(sigs)})
 
+    if shingle_arrays is not None:
+        return shingle_arrays.mapInPandas(
+            _sig_rows, "doc_id long, sig array<long>"
+        )
     if shingle_hashes is None:
-        toked = corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.expr(spark_tokens_expr(text_col)).alias("toks"),
-        )
-        expr = (
-            f"case when size(toks) >= {n} then"
-            f" transform(sequence(0, size(toks) - {n}),"
-            f" i -> xxhash64(array_join(slice(toks, i + 1, {n}), ' ')))"
-            f" else cast(array() as array<bigint>) end"
-        )
-        src = toked.select("doc_id", F.expr(expr).alias("hs"))
+        src = shingle_hash_arrays(corpus, n, id_col, text_col)
         return src.mapInPandas(_sig_rows, "doc_id long, sig array<long>")
 
     def _sig_stream(batches):
@@ -385,7 +423,31 @@ def _capped_bucket_pairs(
     # lineage truncated, blocks on local disk, zero storage-memory pin.
     cols = [F.col(c) for c in bucket_cols]
     if max_bucket is None:
-        small, star = _barrier(banded), None
+        # uncapped (exact-contract) path: ONE hash aggregation collects
+        # each bucket's sorted member ids and a JVM transform emits the
+        # strict-upper-triangle pairs — replacing the sort-merge SELF-
+        # JOIN (two sorted consumers of a checkpointed banded table).
+        # One consumer ⇒ no barrier needed here; memory per row is the
+        # bucket's id array, strictly cheaper than the join's quadratic
+        # pair fan-out on the same degenerate bucket (which is the
+        # documented reason max_bucket exists for boilerplate corpora).
+        grouped = banded.groupBy(*cols).agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+        pairs = (
+            grouped.filter(F.size("ds") > 1)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (x, i) ->"
+                        " transform(slice(ds, i + 2, size(ds)),"
+                        " y -> struct(x as doc_a, y as doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+        )
+        return pairs.distinct()
     else:
         # bucket size via a window over the SAME partitioning the join
         # needs — one shuffle, no extra aggregate+join round trip. The
@@ -444,8 +506,20 @@ def minhash_lsh_pairs(
     dropped — set it at boilerplate-heavy web scale, knowingly.
     """
     rows_per_band = n_hashes // bands
-    # zero-shuffle signature path (per-row arrays, map-side minima)
-    sigs = minhash_signatures(corpus, n_hashes, n, id_col, text_col)
+    # One tokenize+shingle-hash pass feeds BOTH the signature and the
+    # verify planes (bits=64): the per-doc hash-array table is barriered
+    # once and the verify side restates shingle_hashes(distinct=False)
+    # as explode(hs) (+ pmod for a test hash_mask). The former flow
+    # tokenized and hashed the corpus twice — the second pass (plus its
+    # separate codegen) was ~30% of the op at 50k docs. bits=128 verify
+    # needs the shingle STRINGS for the second hash, so it keeps the
+    # two-pass flow.
+    shared = bits == 64
+    if shared:
+        sh_src = _barrier(shingle_hash_arrays(corpus, n, id_col, text_col))
+        sigs = minhash_signatures(None, n_hashes, shingle_arrays=sh_src)
+    else:
+        sigs = minhash_signatures(corpus, n_hashes, n, id_col, text_col)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -468,12 +542,20 @@ def minhash_lsh_pairs(
     # The VERIFY keys on the full (bits)-wide shingle hash — estimation
     # lives in the minhash/banding stages, exactness here
     cols = _shingle_cols(bits)
-    sh_c = _barrier(
-        shingle_hashes(
+    if shared:
+        h_expr = (
+            F.expr(f"pmod(h0, {hash_mask + 1}L)") if hash_mask else F.col("h0")
+        )
+        sh_all = sh_src.select(
+            "doc_id", F.explode("hs").alias("h0")
+        ).select("doc_id", h_expr.alias("h"))
+    else:
+        sh_all = shingle_hashes(
             corpus, n, id_col, text_col, distinct=False,
             bits=bits, hash_mask=hash_mask,
         )
-        .join(needed, "doc_id", "semi")
+    sh_c = _barrier(
+        sh_all.join(needed, "doc_id", "semi")
         .dropDuplicates(["doc_id", *cols])
     )
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -519,7 +601,8 @@ def simhash_fingerprints(
     per-group _vote_one form measured ~10× slower at 5k docs); term
     hashing stays JVM (xxhash64)."""
     toks = (
-        corpus.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(spark_tokens_expr(text_col))).alias("term"))
+        _spread(corpus)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(spark_tokens_expr(text_col))).alias("term"))
         .groupBy("doc_id", F.xxhash64("term").alias("h"))
         .agg(F.count("*").alias("w"))
     )
