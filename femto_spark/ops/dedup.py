@@ -534,7 +534,13 @@ def minhash_lsh_pairs(
     cand = _barrier(_capped_bucket_pairs(banded, ["band", "band_hash"], max_bucket))
     # exact Jaccard verification restricted to the LSH candidates — never
     # the all-pairs computation (that's the whole point of LSH); the
-    # distinct runs on the candidates' slice only
+    # distinct runs on the candidates' slice only.
+    # (A broadcast-join verify variant — candidate pairs broadcast against
+    # the shingle-array table + per-pair numpy jaccard — was measured
+    # marginally faster WARM (2.9 vs 3.6 s at 50k docs) but ~7 s slower
+    # on a cold session (first broadcast build + Arrow array-column
+    # path), and this op runs once per pipeline: rejected, OPTIMIZATION
+    # r06.)
     needed = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b"))
     ).distinct()

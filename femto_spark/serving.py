@@ -108,6 +108,12 @@ class LocalSearcher:
         # the row cache, ~3 int64 arrays of df entries per term
         self._dec_cache: OrderedDict[int, tuple] = OrderedDict()
         self._cache_dec_terms = max(64, cache_terms // 8)
+        # per-term BM25 (doc, score) vectors — query-INDEPENDENT (df,
+        # n_docs, avgdl are all index constants), so they are index-
+        # derived data like the posting rows, not query results; the
+        # per-call idf/num/den recomputation was ~5 ms of the 9.5 ms
+        # warm search at 50k docs
+        self._score_cache: OrderedDict[int, tuple] = OrderedDict()
         # demand-paged vocab (see _vocab_matching): LRU of pruned pages +
         # a counter of vocab rows ever materialized (tests cap it; a
         # 10^9-term vocabulary must never become process-resident)
@@ -258,23 +264,49 @@ class LocalSearcher:
             if df == 0:
                 per_term.append(None)
                 continue
+            if h in self._score_cache:
+                self._score_cache.move_to_end(h)
+                per_term.append(self._score_cache[h])
+                continue
             doc, tf, dl = self._decoded(h)
             idf = np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
             num = tf.astype(np.float64) * (K1 + 1.0)
             den = tf.astype(np.float64) + K1 * (
                 1.0 - B + B * dl.astype(np.float64) / self.avgdl
             )
-            per_term.append((doc, idf * (num / den)))
+            entry = (doc, idf * (num / den))
+            self._score_cache[h] = entry
+            while len(self._score_cache) > self._cache_dec_terms:
+                self._score_cache.popitem(last=False)
+            per_term.append(entry)
         alive = [p for p in per_term if p is not None]
         if not alive:
             return []
-        union = np.unique(np.concatenate([p[0] for p in alive]))
-        acc = np.zeros(union.size, dtype=np.float64)
-        hit = np.zeros(union.size, dtype=np.int64)
-        for p in alive:  # terms already ascending — same fold order
-            idx = np.searchsorted(union, p[0])
-            acc[idx] += p[1]
-            hit[idx] += 1
+        # fold in ascending term order (bit-identical float64 sums to the
+        # old per-term searchsorted loop — same per-doc add sequence).
+        # Dense path: when doc ids index a small array directly, scatter-
+        # add by doc_id and skip every sort/binary search; sparse path
+        # (huge doc spaces): one unique(return_inverse) + bincount.
+        max_doc = max(
+            (int(p[0][-1]) for p in alive if p[0].size), default=-1
+        ) + 1
+        if 0 < max_doc <= max(1 << 22, 64 * sum(p[0].size for p in alive)):
+            accf = np.zeros(max_doc, dtype=np.float64)
+            hitf = np.zeros(max_doc, dtype=np.int64)
+            for p in alive:  # terms already ascending — same fold order
+                accf[p[0]] += p[1]
+                hitf[p[0]] += 1
+            union = np.flatnonzero(hitf)
+            acc, hit = accf[union], hitf[union]
+        else:
+            docs_cat = np.concatenate([p[0] for p in alive])
+            union, inverse = np.unique(docs_cat, return_inverse=True)
+            acc = np.bincount(
+                inverse,
+                weights=np.concatenate([p[1] for p in alive]),
+                minlength=union.size,
+            )
+            hit = np.bincount(inverse, minlength=union.size)
         if mode == "and":
             m = hit == len(terms)
             union, acc = union[m], acc[m]
@@ -283,7 +315,15 @@ class LocalSearcher:
             m = np.isin(union, allowed)
             union, acc = union[m], acc[m]
         score = np.floor(acc * 1e6 + 0.5) / 1e6
-        order = np.lexsort((union, -score))[:k]
+        if score.size > k:
+            # partition-prune before the tie-exact lexsort: every row of
+            # the full lexsort's first k has score >= the k-th largest,
+            # and all such rows are in `cand` — identical output
+            thresh = np.partition(score, score.size - k)[score.size - k]
+            cand = np.flatnonzero(score >= thresh)
+            order = cand[np.lexsort((union[cand], -score[cand]))[:k]]
+        else:
+            order = np.lexsort((union, -score))[:k]
         return [(int(union[i]), float(score[i])) for i in order]
 
     def search_wand(self, query: str, k: int = 10) -> list[tuple[int, float]]:
@@ -390,7 +430,11 @@ class LocalSearcher:
         rh = self._hash(_one_term(right, "THEN/WITHIN right"))
         ld, lflat, loff = self._positions(lh)
         rd, rflat, roff = self._positions(rh)
-        common, li, ri = np.intersect1d(ld, rd, return_indices=True)
+        # doc arrays are sorted-unique by construction (shard-disjoint,
+        # argsorted in _positions) — assume_unique skips two re-sorts
+        common, li, ri = np.intersect1d(
+            ld, rd, assume_unique=True, return_indices=True
+        )
         if common.size == 0:
             return []
 
@@ -416,7 +460,9 @@ class LocalSearcher:
             hits = np.union1d(hits, _with_right_after(r_all, l_all))
         docs = common[(hits >> 32).astype(np.int64)]
         offs = hits & (STRIDE - 1)
-        return [(int(doc), int(p)) for doc, p in zip(docs, offs)]
+        # tolist() converts to native ints in C — the per-element int()
+        # comprehension was ~3 ms of the warm path on a few-k result set
+        return list(zip(docs.tolist(), offs.tolist()))
 
     def phrase(self, query: str) -> list[tuple[int, int, int]]:
         """Exact phrase — (doc_id, n_matches, first_pos), identical to
@@ -458,10 +504,7 @@ class LocalSearcher:
         counts = np.diff(np.r_[bounds, anchors.size])
         firsts = anchors[bounds] & (STRIDE - 1)
         docs = cand[blk_ids[bounds]]
-        return [
-            (int(d), int(c), int(f))
-            for d, c, f in zip(docs, counts, firsts)
-        ]
+        return list(zip(docs.tolist(), counts.tolist(), firsts.tolist()))
 
     # -- infix / substring plane ------------------------------------------
 
