@@ -541,9 +541,11 @@ def minhash_lsh_pairs(
     # on a cold session (first broadcast build + Arrow array-column
     # path), and this op runs once per pipeline: rejected, OPTIMIZATION
     # r06.)
+    # no .distinct(): the LeftSemi join below dedups by construction —
+    # the extra aggregate bought nothing (the candidate table is tiny)
     needed = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b"))
-    ).distinct()
+    )
     # consumed 3× (sizes + both join sides): same disk-backed barrier.
     # The VERIFY keys on the full (bits)-wide shingle hash — estimation
     # lives in the minhash/banding stages, exactness here

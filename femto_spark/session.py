@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Posting blobs are large binary cells; keep task results bounded.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (optimization guide §3.1/§9): the engine's join
+        # fan-outs (semi-joins, anchor joins, verify chains) are small-
+        # per-partition build sides where the sort is pure overhead; the
+        # planner still falls back to sort-merge when sizes demand it, so
+        # this is scale-neutral, not a local[32] tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # catalog-mode index tables (build_index catalog_table=) land in
