@@ -164,13 +164,18 @@ def main() -> int:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     check(
-        "brute_force_topk — JVM cosine",
+        "brute_force_topk — partition GEMM",
         brute_force_topk(embs, q, k=5),
         [
-            ("broadcast nested loop / hash join for queries", lambda p: "Broadcast" in p),
-            # formatted-mode AQE plans don't label WSCG spans; the real
-            # property is that scoring stays JVM-side:
-            ("no Python UDF in scoring", lambda p: "MapInPandas" not in p and "Python" not in p),
+            # r6 design (guide §4.2): one float64 GEMM per partition in
+            # MapInPandas (queries broadcast via closure), per-partition
+            # top-k, tiny global window — the corpus is never fanned out
+            # by a per-pair join
+            ("no per-pair cross join", lambda p: "BroadcastNestedLoop" not in p
+             and "CartesianProduct" not in p),
+            ("Arrow GEMM stage present", lambda p: "MapInPandas" in p),
+            ("per-partition top-k before the exchange",
+             lambda p: "WindowGroupLimit" in p),
             ("window top-k, no global sort", lambda p: "Window" in p),
         ],
     )
