@@ -376,6 +376,36 @@ def main() -> int:
         ],
     )
 
+    # 14. plan-compile probe for a MAXIMAL accepted gap pattern (ADVICE
+    # r05 #3): 4 gaps, multi-token parts with in-part dots (variant
+    # fan-out), edge guards — the worst _gapk_docs plan (up to 16 merge
+    # masks × variant combos with margin/guard sub-unions). The property
+    # asserted is that driver-side planning (analysis+optimization+
+    # physical planning, via the explain string) completes in bounded
+    # time; if this ever fails, lower _MAX_GAP_COMBOS.
+    import time as _time
+
+    # maximal ACCEPTED shape (denser in-part dot combos exceed
+    # _MAX_GAP_COMBOS and correctly reject to other routes)
+    worst = "..da.a table.*erge f.st.+scan.*valu. key.*hash rec.."
+    t0 = _time.time()
+    df_worst = eng.infix_docs(worst)
+    p_worst = plan_of(df_worst)
+    compile_s = _time.time() - t0
+    sections.append(
+        (
+            f"maximal gap chain — plan compile {compile_s:.1f}s",
+            p_worst[:4000],
+            [
+                (
+                    f"plan compiles in bounded time ({compile_s:.1f}s < 120s)",
+                    compile_s < 120.0,
+                ),
+                ("no CartesianProduct", "CartesianProduct" not in p_worst),
+            ],
+        )
+    )
+
     # write report
     out = os.path.join(REPO, "BENCH", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
