@@ -63,10 +63,17 @@ def brute_force_topk(
     qrows = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qvec")
     ).collect()
+    from .dedup import _spread
+
     q_t = queries.schema[qid_col].dataType.simpleString()
     v_t = vectors.schema[id_col].dataType.simpleString()
     schema = f"query_id {q_t}, vec_id {v_t}, cos_sim double"
-    src = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # _spread: a single-split embeddings file would put the whole GEMM in
+    # one task (same input-parallelism guard as the dedup ops; output is
+    # partitioning-independent — the global window reduces candidates)
+    src = _spread(
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    )
     if not qrows:
         cand = src.limit(0).select(
             F.col("vec_id").cast(q_t).alias("query_id"), "vec_id",
